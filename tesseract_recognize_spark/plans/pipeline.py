@@ -1,0 +1,102 @@
+"""The end-to-end extraction plan (SURVEY.md §3.4).
+
+    documents ──explode (native, no shuffle)──┬── text branch: native trim
+                                              └── media branch:
+                                                    repartition(doc_id, offset)   ← skew salting
+                                                    mapInPandas mock-OCR          ← the one UDF
+                                                    T1 filter (native)
+                                                    T3 corners (native)
+               union ── repartition(doc_id) ── P1 ── P2 ── P3 ── order window ── sink
+
+Shuffle accounting (the 100-TB argument): exactly two exchanges —
+(1) the salting repartition that spreads media-heavy documents across tasks
+BEFORE the expensive OCR stage, and (2) one hash exchange on doc_id that
+serves ALL downstream window operators (P2 partitions by (doc_id, offset),
+P3 by (doc_id, offset, line_id), order by (doc_id) — hash(doc_id) clusters
+all of them, so Catalyst inserts sorts but no further exchanges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tesseract_recognize_spark.config import DEFAULT_CONFIG, ExtractConfig
+from tesseract_recognize_spark.operators.explode import explode_spans
+from tesseract_recognize_spark.operators.normalize import (
+    normalize_text_spans,
+    trim_text,
+)
+from tesseract_recognize_spark.operators.ocr import ocr_expand
+from tesseract_recognize_spark.operators.postpass import (
+    p1_apply_orientation,
+    p2_dominant_baselines,
+    p3_fill_word_coords,
+    t1_block_filter,
+    t3_coords,
+)
+from tesseract_recognize_spark.schemas import FINAL_COLUMNS
+
+__all__ = ["extract", "canonical_projection"]
+
+
+def extract(
+    docs_df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    ordered: bool = False,
+    resolver=None,
+) -> DataFrame:
+    """documents(doc_id, spans) → final span rows (FINAL_COLUMNS).
+
+    ``ordered=True`` adds a global orderBy(doc_id, order) — only for small
+    result inspection; the sink path keeps documents clustered and sorted
+    within partitions instead (no global exchange).
+    """
+    spans = explode_spans(docs_df)
+
+    text_rows = normalize_text_spans(spans)
+
+    media_in = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref", "media_idx", "n_media"
+    )
+    if cfg.media_partitions:
+        # salting: (doc_id, offset) hash spreads one media-heavy document
+        # across many tasks before the expensive stage
+        media_in = media_in.repartition(
+            cfg.media_partitions, "doc_id", "offset"
+        )
+    media_rows = ocr_expand(media_in, cfg, resolver=resolver)
+    media_rows = t1_block_filter(media_rows)
+    media_rows = t3_coords(media_rows)
+    media_rows = media_rows.withColumn("kind", F.lit("media")).withColumn(
+        "text", trim_text(F.col("text"))  # T9 applies at every level
+    )
+
+    # align the light text branch to the media schema
+    media_cols = media_rows.columns
+    text_full = text_rows.withColumn("kind", F.lit("text"))
+    for c in media_cols:
+        if c not in text_full.columns:
+            text_full = text_full.withColumn(
+                c, F.lit(None).cast(media_rows.schema[c].dataType)
+            )
+    all_rows = text_full.select(media_cols).unionByName(media_rows)
+
+    # one exchange serves every window below (hash(doc_id) clusters
+    # (doc_id), (doc_id, offset) and (doc_id, offset, line_id) alike)
+    all_rows = all_rows.repartition("doc_id")
+    all_rows = p1_apply_orientation(all_rows)
+    all_rows = p2_dominant_baselines(all_rows)
+    all_rows = p3_fill_word_coords(all_rows)
+
+    order_w = Window.partitionBy("doc_id").orderBy("offset", "sub_order")
+    out = all_rows.withColumn(
+        "order", (F.row_number().over(order_w) - 1).cast("int")
+    ).select(*FINAL_COLUMNS)
+    if ordered:
+        out = out.orderBy("doc_id", "order")
+    return out
+
+
+def canonical_projection(spans_df: DataFrame) -> DataFrame:
+    """The equality-invariant projection (kind, text, media_ref, order)."""
+    return spans_df.select("doc_id", "order", "kind", "text", "media_ref")

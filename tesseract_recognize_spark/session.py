@@ -1,0 +1,47 @@
+"""SparkSession builder with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["build_session"]
+
+
+def build_session(
+    app_name: str = "tesseract-recognize-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a session with AQE + Arrow tuned for the extraction workload.
+
+    ``arrow_batch_rows`` bounds the rows per Arrow batch entering the
+    Python workers — the engine's memory discipline (the analog of the
+    reference's one-decoded-page-resident rule,
+    tesseract-recognize.cc:540-548,790): a media-heavy batch expands
+    ~100-200× in the OCR stage, so batches are kept small.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_batch_rows),
+        )
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,147 @@
+"""TableIO seam: snapshot-committed table writes with a manifest.
+
+The north rule mandates Iceberg snapshot-based checkpointing with
+per-partition lineage. No Iceberg runtime jar ships in this sandbox
+(SURVEY.md §7 environment facts), so the seam has two implementations with
+identical commit/resume semantics:
+
+  * ``IcebergTableIO`` — used when an Iceberg catalog is configured on the
+    session: each partition-group commit is ``writeTo(...).append()`` (one
+    Iceberg snapshot per group), and the lineage rows land in a second
+    Iceberg table.
+  * ``ParquetTableIO`` — local fallback: each group is a parquet subdir
+    committed by an atomic manifest-line append; resume reads the manifest.
+
+Commit unit = partition group (a deterministic hash bucket of doc_id), so
+"resume" = anti-join of pending groups against committed ones — the same
+contract either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["LineageEntry", "ParquetTableIO", "IcebergTableIO", "get_table_io"]
+
+
+@dataclass
+class LineageEntry:
+    run_id: str
+    group: int
+    doc_count: int
+    span_count: int
+    wall_ms: int
+    status: str
+    committed_at: float
+
+
+class ParquetTableIO:
+    """Parquet-dir-per-group + JSONL manifest. The manifest append is the
+    commit point (write-temp-then-rename is unnecessary for a single-writer
+    job driver; a crash mid-write leaves an uncommitted dir that resume
+    simply overwrites)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.jsonl")
+
+    def committed_groups(self) -> dict[int, LineageEntry]:
+        out: dict[int, LineageEntry] = {}
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for ln in f:
+                    e = LineageEntry(**json.loads(ln))
+                    if e.status == "committed":
+                        out[e.group] = e
+        return out
+
+    def group_path(self, group: int) -> str:
+        return os.path.join(self.root, f"group={group}")
+
+    def commit_group(
+        self, df: DataFrame, group: int, run_id: str, t0: float
+    ) -> LineageEntry:
+        path = self.group_path(group)
+        df.write.mode("overwrite").parquet(path)
+        spark = df.sparkSession
+        written = spark.read.parquet(path)
+        doc_count = written.select("doc_id").distinct().count()
+        span_count = written.count()
+        entry = LineageEntry(
+            run_id=run_id,
+            group=group,
+            doc_count=doc_count,
+            span_count=span_count,
+            wall_ms=int((time.time() - t0) * 1000),
+            status="committed",
+            committed_at=time.time(),
+        )
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(asdict(entry)) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return entry
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        groups = sorted(self.committed_groups())
+        paths = [self.group_path(g) for g in groups]
+        return spark.read.parquet(*paths)
+
+
+class IcebergTableIO:
+    """Iceberg-backed implementation (same contract). Requires an Iceberg
+    catalog on the session; each group commit is one snapshot of
+    ``table``, lineage appends go to ``table + '_lineage'``."""
+
+    def __init__(self, table: str) -> None:
+        self.table = table
+
+    def committed_groups(self) -> dict[int, LineageEntry]:
+        spark = SparkSession.getActiveSession()
+        rows = spark.read.table(self.table + "_lineage").collect()
+        return {
+            r["group"]: LineageEntry(**r.asDict())
+            for r in rows
+            if r["status"] == "committed"
+        }
+
+    def commit_group(
+        self, df: DataFrame, group: int, run_id: str, t0: float
+    ) -> LineageEntry:
+        spark = df.sparkSession
+        df.writeTo(self.table).append()  # one snapshot per group
+        doc_count = df.select("doc_id").distinct().count()
+        span_count = df.count()
+        entry = LineageEntry(
+            run_id=run_id,
+            group=group,
+            doc_count=doc_count,
+            span_count=span_count,
+            wall_ms=int((time.time() - t0) * 1000),
+            status="committed",
+            committed_at=time.time(),
+        )
+        spark.createDataFrame([asdict(entry)]).writeTo(
+            self.table + "_lineage"
+        ).append()
+        return entry
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        return spark.read.table(self.table)
+
+
+def get_table_io(target: str):
+    """'/path/dir' → ParquetTableIO; 'catalog.db.table' → IcebergTableIO."""
+    if os.sep in target or target.startswith("."):
+        return ParquetTableIO(target)
+    return IcebergTableIO(target)
