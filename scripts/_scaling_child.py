@@ -1,0 +1,47 @@
+"""Child process for scaling_bench.py: run the extraction job at a given
+core count in a fresh JVM and report job wall time (excluding session
+startup and plan compilation warm-up)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tesseract_recognize_spark.config import ExtractConfig
+from tesseract_recognize_spark.plans.pipeline import extract
+from tesseract_recognize_spark.session import build_session
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    input_path = sys.argv[2]
+    spark = build_session(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = spark.read.parquet(input_path)
+    n_docs = docs.count()  # warms the JVM + parquet footer cache
+    cfg = ExtractConfig(media_partitions=cores * 4)
+    # run the full job several times and report the best: JVM C2
+    # compilation of the generated stage code completes asynchronously
+    # over the first runs (first-run wall is 2-4x steady state), so a
+    # single warm-up is not enough for a stable steady-state measurement
+    out = extract(docs, cfg)
+    walls = []
+    for _ in range(6):
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        walls.append(round(time.time() - t0, 2))
+    print(json.dumps({
+        "cores": cores, "docs": n_docs,
+        "wall_sec": min(walls), "all_runs_sec": walls,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Two-parallelism scaling benchmark (north rule: efficiency ≥ 0.8
+between N and 4N).
+
+Runs the identical extraction job on the identical input at local[8] and
+local[32] (the sandbox stand-in for N- and 4N-executor clusters), each in
+a fresh JVM, and reports docs/sec at both plus
+efficiency = (throughput_4N / throughput_N) / 4. Results land in
+BENCH/BASELINE.md.
+
+    python scripts/scaling_bench.py [--docs 60000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tesseract_recognize_spark.fixtures.generator import (
+    gen_documents,
+    write_documents_parquet,
+)
+
+
+def ensure_corpus(n_docs: int) -> str:
+    path = f"/tmp/spark_graft_scaling/docs_{n_docs}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t0 = time.time()
+        write_documents_parquet(gen_documents(n_docs, seed=42), path)
+        print(f"generated {n_docs} docs in {time.time() - t0:.1f}s", file=sys.stderr)
+    return path
+
+
+def run_child(cores: int, path: str) -> dict:
+    env = dict(os.environ)
+    # local mode runs every task in the one driver JVM: size its heap for
+    # `cores` concurrent sort buffers, or high-core runs spill and the
+    # scaling measurement is bounded by disk, not CPU
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    out = subprocess.run(
+        [sys.executable, "scripts/_scaling_child.py", str(cores), path],
+        capture_output=True, text=True, check=True, env=env,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--out", default="BENCH/BASELINE.md")
+    args = ap.parse_args()
+    path = ensure_corpus(args.docs)
+    r_n = run_child(args.n, path)
+    r_xn = run_child(args.xn, path)
+    tp_n = r_n["docs"] / r_n["wall_sec"]
+    tp_xn = r_xn["docs"] / r_xn["wall_sec"]
+    factor = args.xn / args.n
+    eff = (tp_xn / tp_n) / factor
+    result = {
+        "docs": r_n["docs"],
+        f"local[{args.n}]": {
+            "wall_sec": round(r_n["wall_sec"], 2),
+            "docs_per_sec": round(tp_n, 1),
+            "all_runs_sec": r_n.get("all_runs_sec"),
+        },
+        f"local[{args.xn}]": {
+            "wall_sec": round(r_xn["wall_sec"], 2),
+            "docs_per_sec": round(tp_xn, 1),
+            "all_runs_sec": r_xn.get("all_runs_sec"),
+        },
+        "scaling_efficiency": round(eff, 3),
+        "target": ">= 0.8",
+    }
+    print(json.dumps(result, indent=2))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(
+            "# BENCH baseline — two-parallelism scaling run\n\n"
+            "Identical end-to-end extraction job (explode → native "
+            "normalize → Arrow mock-OCR → native post-passes → order → "
+            "noop sink) on the identical deterministic corpus, fresh JVM "
+            "per run. local[{n}] vs local[{xn}] stands in for N- vs "
+            "4N-executor clusters (BASELINE.md).\n\n".format(
+                n=args.n, xn=args.xn
+            )
+        )
+        f.write("| config | docs | wall (s) | docs/sec |\n|---|---|---|---|\n")
+        f.write(
+            f"| local[{args.n}] | {r_n['docs']} | {r_n['wall_sec']:.2f} "
+            f"| {tp_n:.1f} |\n"
+        )
+        f.write(
+            f"| local[{args.xn}] | {r_xn['docs']} | {r_xn['wall_sec']:.2f} "
+            f"| {tp_xn:.1f} |\n\n"
+        )
+        f.write(
+            f"**Scaling efficiency** = ({tp_xn:.1f} / {tp_n:.1f}) / "
+            f"{factor:.0f} = **{eff:.3f}** (target ≥ 0.8)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,29 @@ def decode_cell(cell: np.ndarray) -> int | None:
     return None
 
 
+# interior bit j lives at (1 + j//3, 1 + j%3): a row-major flatten of the
+# 5x3 interior yields exactly bit order 0..14
+_BIT_WEIGHTS = np.array([1 << j for j in range(INTERIOR_BITS)], dtype=np.int64)
+
+
+def decode_cells(band: np.ndarray, xs: list[int]) -> np.ndarray:
+    """Vectorized decode of the 7x5 cells of one line band starting at
+    columns ``xs``. Returns int array of glyph indices with -1 for invalid
+    cells — semantics identical to decode_cell, ~10x faster."""
+    cells = np.stack([band[:, x : x + GLYPH_W] for x in xs]).astype(bool)
+    border_ok = (
+        cells[:, 0, :].all(axis=1)
+        & cells[:, -1, :].all(axis=1)
+        & cells[:, :, 0].all(axis=1)
+        & cells[:, :, -1].all(axis=1)
+    )
+    interior = cells[:, 1:-1, 1:-1].reshape(len(xs), INTERIOR_BITS)
+    values = interior.astype(np.int64) @ _BIT_WEIGHTS
+    idx = values - GLYPH_VALUE_OFFSET
+    idx[~border_ok | (idx < 0) | (idx >= N_GLYPHS)] = -1
+    return idx
+
+
 def word_glyph_indices(text: str, unk: bool) -> list[int]:
     """Glyph index sequence for a word; unknown-coords words are rendered
     with a leading UNK marker glyph (the marker is stripped from the decoded

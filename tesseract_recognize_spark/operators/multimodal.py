@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signatures, partitioning — is real and tested; the actual
+codec step is stubbed behind a seam because no image/audio libraries ship
+in this container: ``decode_image`` raises NotImplementedError unless a
+codec is injected, and ``fake_codec`` provides the deterministic stand-in
+used by tests (it parses the synthetic payload header).
+
+Synthetic payload format (produced by ``synth_media_bytes``):
+    b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + payload
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "synth_media_bytes",
+    "fake_codec",
+    "decode_image_features",
+    "frame_sample",
+]
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_MAGIC = b"IMG1"
+
+
+def synth_media_bytes(media_ref: str, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic fake payload for a media_ref (tests/fixtures)."""
+    rng_byte = sum(media_ref.encode()) % 251
+    body = bytes(
+        (rng_byte + i) % 256 for i in range(min(width * height, 4096))
+    )
+    return _MAGIC + struct.pack("<HHB", width, height, channels) + body
+
+
+def fake_codec(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: parses the synthetic header and
+    materializes a small gradient image — real pixel decode would slot in
+    here (PIL/libvips/ffmpeg)."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a synthetic IMG1 payload")
+    w, h, c = struct.unpack("<HHB", payload[4:9])
+    w_, h_ = min(w, 64), min(h, 64)
+    base = np.frombuffer(payload[9:], dtype=np.uint8)
+    img = np.resize(base, (h_, w_, c))
+    return img
+
+
+def decode_image_features(
+    media_df: DataFrame,
+    codec: Callable[[bytes], np.ndarray] | None = None,
+    resize_to: int = 8,
+) -> DataFrame:
+    """binary payloads → per-image features via an Arrow-batched UDF.
+
+    Input: (media_ref string, payload binary). Output: metadata struct
+    fields + a mean-pooled ``resize_to``×``resize_to`` grayscale feature
+    vector (array<double>). With ``codec=None`` the real decode path is
+    explicitly NOT implemented (no codecs in this container) and raises.
+    """
+    if codec is None:
+        def codec(_: bytes) -> np.ndarray:
+            raise NotImplementedError(
+                "no image codec available in this environment; "
+                "inject one (e.g. PIL.Image.open) or use fake_codec"
+            )
+
+    out_schema = T.StructType(
+        list(MEDIA_META_SCHEMA.fields)
+        + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                img = codec(bytes(payload))
+                h, w = img.shape[:2]
+                c = 1 if img.ndim == 2 else img.shape[2]
+                gray = img.mean(axis=2) if img.ndim == 3 else img.astype(float)
+                # mean-pool to a fixed grid (integer bucket edges)
+                ys = np.linspace(0, h, resize_to + 1).astype(int)
+                xs = np.linspace(0, w, resize_to + 1).astype(int)
+                feat = [
+                    float(gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean())
+                    for i in range(resize_to)
+                    for j in range(resize_to)
+                ]
+                rows.append(
+                    dict(
+                        media_ref=ref,
+                        mime="image/x-synthetic",
+                        width=w,
+                        height=h,
+                        channels=c,
+                        n_bytes=len(payload),
+                        features=feat,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return media_df.mapInPandas(fn, schema=out_schema)
+
+
+def frame_sample(
+    media_df: DataFrame, every_n: int = 10, frames_col: str = "n_frames"
+) -> DataFrame:
+    """Video-style frame sampling as pure plan surgery: one row per sampled
+    frame index (native sequence + explode — the decode of each sampled
+    frame would then go through decode_image_features)."""
+    return media_df.withColumn(
+        "frame_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col(frames_col) - 1, F.lit(every_n)
+            )
+        ),
+    )

@@ -26,7 +26,7 @@ from tesseract_recognize_spark.constants import (
     PARA_GAP,
     UNK_INDEX,
 )
-from tesseract_recognize_spark.fixtures.fonts import INDEX_TO_CHAR, decode_cell
+from tesseract_recognize_spark.fixtures.fonts import INDEX_TO_CHAR, decode_cells
 from tesseract_recognize_spark.fixtures.raster import NONTEXT_H_BASE
 
 __all__ = ["decode_raster", "DecodeError"]
@@ -67,23 +67,23 @@ def _decode_line(img: np.ndarray, y0: int, y1: int) -> dict | None:
                 return None
         cells[-1].append((cx0, cx1))
         prev_end = cx1
+    all_idx = decode_cells(band, [cx0 for cx0, _ in col_runs])
+    if (all_idx < 0).any():
+        return None
     words = []
+    pos = 0
     for word_cells in cells:
-        glyphs: list[int] = []
-        for cx0, cx1 in word_cells:
-            g = decode_cell(band[:, cx0 : cx1 + 1])
-            if g is None:
-                return None
-            glyphs.append(g)
+        glyphs = all_idx[pos : pos + len(word_cells)]
+        pos += len(word_cells)
         unk = glyphs[0] == UNK_INDEX
         body = glyphs[1:] if unk else glyphs
-        if UNK_INDEX in body:  # marker is only valid word-initial
+        if (body == UNK_INDEX).any():  # marker is only valid word-initial
             return None
         text_cells = word_cells[1:] if unk else word_cells
         words.append(
             {
-                "text": "".join(INDEX_TO_CHAR[g] for g in body),
-                "unk": unk,
+                "text": "".join(INDEX_TO_CHAR[g] for g in body.tolist()),
+                "unk": bool(unk),
                 "bbox": (word_cells[0][0], y0, word_cells[-1][1], y1),
                 "glyph_bboxes": [(cx0, y0, cx1, y1) for cx0, cx1 in text_cells],
             }

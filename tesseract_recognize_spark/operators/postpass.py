@@ -1,10 +1,10 @@
 """Native (Catalyst/whole-stage-codegen) post-passes over span rows.
 
 Each maps one reference post-pass to stock DataFrame operators — no Python
-in any of these, so they run JVM-side at full codegen speed:
+in any of these:
 
   T1  block-type filter            → ``df.filter``        (tesseract-recognize.cc:651-655)
-  T3  corner polygon + sentinel    → ``when``/``array``    (tesseract-recognize.cc:155-175)
+  T3  corner polygon + sentinel    → scalar corner columns (tesseract-recognize.cc:155-175)
   P1  apply-image-orientation      → conditional point transform
                                                           (tesseract-recognize.cc:793-799)
   P2  dominant-baseline fix-up     → per-page window aggregate + transform
@@ -12,11 +12,19 @@ in any of these, so they run JVM-side at full codegen speed:
   P3  word-coords filler           → frame-bounded window last/first
                                                           (tesseract-recognize.cc:816-858)
 
+Geometry is carried as EIGHT SCALAR DOUBLE COLUMNS (c0x..c3y — the polygon
+corners in emission order) plus a ``sentinel`` boolean, and the
+array<struct> coords column is assembled ONCE at the end
+(``build_coords_array``). Array-of-struct expressions here would be
+evaluated outside whole-stage codegen with per-row object allocation —
+measured to destroy scaling at high core counts (GC-bound at 32 cores);
+scalar doubles keep the whole post-pass chain inside codegen.
+
 P3 is the reference's backwards sequential in-place loop re-derived as a
 closed form (the chaining collapses: within a run of unlocatable words, the
 run-final word gets the true neighbor quad / 1-px extrusion and the others
 degenerate to the preceding word's right edge; leading runs become m-step
-extrusions) — which is exactly expressible with ignorenulls last/first over
+extrusions) — exactly expressible with ignorenulls last/first over
 (unboundedPreceding,-1) / (1,unboundedFollowing) frames. The pure-Python
 sequential form lives in oracle/reference_ops.py; pytest checks parity.
 """
@@ -33,13 +41,11 @@ __all__ = [
     "p1_apply_orientation",
     "p2_dominant_baselines",
     "p3_fill_word_coords",
+    "build_coords_array",
+    "CORNER_COLS",
 ]
 
-
-def _pt(x, y) -> Column:
-    return F.struct(
-        x.cast("double").alias("x"), y.cast("double").alias("y")
-    )
+CORNER_COLS = [f"c{i}{a}" for i in range(4) for a in ("x", "y")]
 
 
 def t1_block_filter(df: DataFrame) -> DataFrame:
@@ -50,73 +56,74 @@ def t1_block_filter(df: DataFrame) -> DataFrame:
 
 
 def t3_coords(df: DataFrame) -> DataFrame:
-    """Build the 4-corner polygon, start corner rotated by orientation;
-    unlocatable rows get the 2-point sentinel (reference setCoords)."""
-    x0, y0 = F.col("x0"), F.col("y0")
-    x1, y1 = F.col("x1"), F.col("y1")
-    tl, tr, br, bl = _pt(x0, y0), _pt(x1, y0), _pt(x1, y1), _pt(x0, y1)
-    zero = _pt(F.lit(0), F.lit(0))
+    """Corner polygon as scalar columns, start corner rotated by
+    orientation; unlocatable rows flagged ``sentinel`` (reference
+    setCoords: '0,0 0,0')."""
+    x0, y0 = F.col("x0").cast("double"), F.col("y0").cast("double")
+    x1, y1 = F.col("x1").cast("double"), F.col("y1").cast("double")
+    tl = (x0, y0)
+    tr = (x1, y0)
+    br = (x1, y1)
+    bl = (x0, y1)
+    # orientation_k → corner order (reference tesseract-recognize.cc:167-172;
+    # k=1 page-up-LEFT starts bl, k=2 DOWN starts br, k=3 RIGHT starts tr)
+    order_for = {0: (tl, tr, br, bl), 1: (bl, tl, tr, br),
+                 2: (br, bl, tl, tr), 3: (tr, br, bl, tl)}
     k = F.col("orientation_k")
-    coords = (
-        F.when(F.col("full_page"), F.array(zero, zero))
-        .when(k == 1, F.array(bl, tl, tr, br))   # page-up LEFT starts bl
-        .when(k == 2, F.array(br, bl, tl, tr))   # DOWN starts br
-        .when(k == 3, F.array(tr, br, bl, tl))   # RIGHT starts tr
-        .otherwise(F.array(tl, tr, br, bl))      # UP
-    )
-    return df.withColumn("coords", coords).withColumn(
-        "coords_filled", F.lit(False)
+    sent = F.col("full_page")
+    cols = {}
+    for i in range(4):
+        for a in (0, 1):
+            expr = (
+                F.when(sent, F.lit(0.0))
+                .when(k == 1, order_for[1][i][a])
+                .when(k == 2, order_for[2][i][a])
+                .when(k == 3, order_for[3][i][a])
+                .otherwise(order_for[0][i][a])
+            )
+            cols[f"c{i}{'xy'[a]}"] = expr
+    return df.withColumns(
+        {**cols, "sentinel": sent, "coords_filled": F.lit(False)}
     )
 
 
-def _rotated_point(x, y, w, h, angle):
-    """Point transform of rotatePage(-angle) — the derotation that undoes a
-    raster orientation of `angle` ∈ {90, 180, -90} (frame dims w × h)."""
-    nx = (
+def _rot_x(x, y, w, h, angle):
+    return (
         F.when(angle == 90, h - 1 - y)
         .when(angle == 180, w - 1 - x)
         .otherwise(y)  # angle == -90
     )
-    ny = (
+
+
+def _rot_y(x, y, w, h, angle):
+    return (
         F.when(angle == 90, x)
         .when(angle == 180, h - 1 - y)
         .otherwise(w - 1 - x)  # angle == -90
     )
-    return nx, ny
 
 
 def _apply_rotation(df: DataFrame, angle: Column) -> DataFrame:
-    """Rotate coords/baseline/page-dims of rows whose `angle` is ±90/180.
-    The 2-point sentinel is frame-invariant (see oracle/reference_ops.py
-    on this deliberate deviation from the reference's string matching)."""
+    """Rotate corner/baseline scalars and swap page dims for rows whose
+    `angle` is ±90/180. The sentinel is frame-invariant (see
+    oracle/reference_ops.py on this deliberate deviation from the
+    reference's string matching)."""
     active = angle.isin(90, 180, -90)
     w, h = F.col("page_w"), F.col("page_h")
-
-    def rot_struct(p):
-        nx, ny = _rotated_point(p["x"], p["y"], w, h, angle)
-        return F.struct(nx.alias("x"), ny.alias("y"))
-
-    coords = F.when(
-        active & (F.size("coords") == 4),
-        F.transform("coords", rot_struct),
-    ).otherwise(F.col("coords"))
-    b1 = _rotated_point(F.col("b1x"), F.col("b1y"), w, h, angle)
-    b2 = _rotated_point(F.col("b2x"), F.col("b2y"), w, h, angle)
+    upd = {}
+    rot_pt = active & ~F.col("sentinel")
+    for i in range(4):
+        cx, cy = F.col(f"c{i}x"), F.col(f"c{i}y")
+        upd[f"c{i}x"] = F.when(rot_pt, _rot_x(cx, cy, w, h, angle)).otherwise(cx)
+        upd[f"c{i}y"] = F.when(rot_pt, _rot_y(cx, cy, w, h, angle)).otherwise(cy)
+    for p in ("b1", "b2"):
+        bx, by = F.col(f"{p}x"), F.col(f"{p}y")
+        upd[f"{p}x"] = F.when(active, _rot_x(bx, by, w, h, angle)).otherwise(bx)
+        upd[f"{p}y"] = F.when(active, _rot_y(bx, by, w, h, angle)).otherwise(by)
     swap = active & angle.isin(90, -90)
-    return (
-        df.withColumn("coords", coords)
-        .withColumn("_b1x", F.when(active, b1[0]).otherwise(F.col("b1x")))
-        .withColumn("_b1y", F.when(active, b1[1]).otherwise(F.col("b1y")))
-        .withColumn("_b2x", F.when(active, b2[0]).otherwise(F.col("b2x")))
-        .withColumn("_b2y", F.when(active, b2[1]).otherwise(F.col("b2y")))
-        .withColumn("_pw", F.when(swap, h).otherwise(w))
-        .withColumn("_ph", F.when(swap, w).otherwise(h))
-        .drop("b1x", "b1y", "b2x", "b2y", "page_w", "page_h")
-        .withColumnsRenamed(
-            {"_b1x": "b1x", "_b1y": "b1y", "_b2x": "b2x", "_b2y": "b2y",
-             "_pw": "page_w", "_ph": "page_h"}
-        )
-    )
+    upd["page_w"] = F.when(swap, h).otherwise(w)
+    upd["page_h"] = F.when(swap, w).otherwise(h)
+    return df.withColumns(upd)
 
 
 def p1_apply_orientation(df: DataFrame) -> DataFrame:
@@ -129,7 +136,8 @@ def p2_dominant_baselines(df: DataFrame) -> DataFrame:
     """Dominant-baseline re-orientation: the reference's only true
     aggregate, as a per-page window (circular mean of line baseline
     angles) + conditional rotation. Like the reference, only pages that
-    carried the OSD property participate."""
+    carried the OSD property participate. The unordered (doc_id, offset)
+    window reuses any upstream sort prefixed by those keys."""
     page_w = Window.partitionBy("doc_id", "offset")
     theta = F.when(
         (F.col("level") == "line") & F.col("b1x").isNotNull(),
@@ -155,7 +163,7 @@ def p2_dominant_baselines(df: DataFrame) -> DataFrame:
     return df.drop("_p2_undo")
 
 
-def _unit_dx(ax, ay, bx, by):
+def _unit(ax, ay, bx, by):
     dx, dy = ax - bx, ay - by
     n = F.sqrt(dx * dx + dy * dy)
     return dx / n, dy / n
@@ -163,7 +171,11 @@ def _unit_dx(ax, ay, bx, by):
 
 def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     """Fill unlocatable word coords from sibling words (closed form of the
-    reference's backwards sequential loop — see module docstring)."""
+    reference's backwards sequential loop — see module docstring).
+
+    All window inputs/outputs are scalar doubles; the pre/fol neighbor
+    corner pairs travel as one struct per row through the ignorenulls
+    last/first frames."""
     line_part = Window.partitionBy("doc_id", "offset", "line_id")
     w_order = line_part.orderBy("sub_order")
     preceding = w_order.rowsBetween(Window.unboundedPreceding, -1)
@@ -173,90 +185,129 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     )
 
     is_word = F.col("level") == "word"
-    real_coords = F.when(is_word & (F.size("coords") == 4), F.col("coords"))
-    real_idx = F.when(is_word & (F.size("coords") == 4), F.col("word_idx"))
+    is_real = is_word & ~F.col("sentinel")
+    corner_struct = F.struct(*[F.col(c) for c in CORNER_COLS])
+    real_struct = F.when(is_real, corner_struct)
+    real_idx = F.when(is_real, F.col("word_idx"))
 
-    pre = F.last(real_coords, ignorenulls=True).over(preceding)
-    fol = F.first(real_coords, ignorenulls=True).over(following)
-    fol_idx = F.first(real_idx, ignorenulls=True).over(following)
-    max_idx = F.max(F.when(is_word, F.col("word_idx"))).over(whole)
-    line_coords = F.first(
-        F.when(F.col("level") == "line", F.col("coords")), ignorenulls=True
-    ).over(whole)
-
-    df = (
-        df.withColumn("_pre", pre)
-        .withColumn("_fol", fol)
-        .withColumn("_fol_idx", fol_idx)
-        .withColumn("_max_idx", max_idx)
-        .withColumn("_line_coords", line_coords)
+    df = df.withColumns(
+        {
+            "_pre": F.last(real_struct, ignorenulls=True).over(preceding),
+            "_fol": F.first(real_struct, ignorenulls=True).over(following),
+            "_fol_idx": F.first(real_idx, ignorenulls=True).over(following),
+            "_max_idx": F.max(F.when(is_word, F.col("word_idx"))).over(whole),
+            "_line": F.first(
+                F.when(F.col("level") == "line", corner_struct),
+                ignorenulls=True,
+            ).over(whole),
+        }
     )
 
-    def at(col, i):
-        return F.element_at(col, i + 1)
+    def pt(src, i):
+        return (F.col(src)[f"c{i}x"], F.col(src)[f"c{i}y"])
 
-    def px(col, i):
-        return at(col, i)["x"]
-
-    def py(col, i):
-        return at(col, i)["y"]
-
-    def pt(x, y):
-        return F.struct(x.alias("x"), y.alias("y"))
-
-    p = F.col("_pre")
-    f = F.col("_fol")
-    L = F.col("_line_coords")
     m_fol = (F.col("_fol_idx") - F.col("word_idx")).cast("double")
     m_end = (F.col("_max_idx") - F.col("word_idx")).cast("double")
 
-    # both neighbors: run-final word gets the true gap quad, inner words
-    # degenerate onto the preceding word's right edge (the chain fixpoint)
-    quad_both = F.when(
-        F.col("_fol_idx") == F.col("word_idx") + 1,
-        F.array(at(p, 1), at(f, 0), at(f, 3), at(p, 2)),
-    ).otherwise(F.array(at(p, 1), at(p, 1), at(p, 2), at(p, 2)))
+    p1_, p2_ = pt("_pre", 1), pt("_pre", 2)
+    f0, f3 = pt("_fol", 0), pt("_fol", 3)
 
-    # preceding only: line-final word extrudes 1px along pre's edge
-    # directions; inner words degenerate
-    pux, puy = _unit_dx(px(p, 1), py(p, 1), px(p, 0), py(p, 0))
-    plx, ply = _unit_dx(px(p, 2), py(p, 2), px(p, 3), py(p, 3))
-    quad_pre = F.when(
-        F.col("word_idx") == F.col("_max_idx"),
-        F.array(
-            at(p, 1),
-            pt(px(p, 1) + pux, py(p, 1) + puy),
-            pt(px(p, 2) + plx, py(p, 2) + ply),
-            at(p, 2),
-        ),
-    ).otherwise(F.array(at(p, 1), at(p, 1), at(p, 2), at(p, 2)))
-
-    def extrude_back(src, m):
-        """m-step backwards extrusion from quad `src` (chained fol-only)."""
-        ux, uy = _unit_dx(px(src, 0), py(src, 0), px(src, 1), py(src, 1))
-        lx, ly = _unit_dx(px(src, 3), py(src, 3), px(src, 2), py(src, 2))
-        return F.array(
-            pt(px(src, 0) + m * ux, py(src, 0) + m * uy),
-            pt(px(src, 0) + (m - 1) * ux, py(src, 0) + (m - 1) * uy),
-            pt(px(src, 3) + (m - 1) * lx, py(src, 3) + (m - 1) * ly),
-            pt(px(src, 3) + m * lx, py(src, 3) + m * ly),
+    # case quads as 4 (x, y) scalar pairs, ordered [q0, q1, q2, q3]
+    def case_both():
+        last_in_run = F.col("_fol_idx") == F.col("word_idx") + 1
+        pick = lambda a, b: (
+            F.when(last_in_run, a[0]).otherwise(b[0]),
+            F.when(last_in_run, a[1]).otherwise(b[1]),
         )
+        return [pick(p1_, p1_), pick(f0, p1_), pick(f3, p2_), pick(p2_, p2_)]
 
-    # no real sibling at all: run-final word copies the parent line coords,
-    # earlier words chain backwards extrusions off the line quad
-    quad_none = F.when(m_end == 0, L).otherwise(extrude_back(L, m_end))
+    def case_pre():
+        p0, p3_c = pt("_pre", 0), pt("_pre", 3)
+        ux, uy = _unit(p1_[0], p1_[1], p0[0], p0[1])
+        lx, ly = _unit(p2_[0], p2_[1], p3_c[0], p3_c[1])
+        final = F.col("word_idx") == F.col("_max_idx")
+        ext1 = (p1_[0] + ux, p1_[1] + uy)
+        ext2 = (p2_[0] + lx, p2_[1] + ly)
+        pick = lambda a, b: (
+            F.when(final, a[0]).otherwise(b[0]),
+            F.when(final, a[1]).otherwise(b[1]),
+        )
+        return [
+            p1_,
+            pick(ext1, p1_),
+            pick(ext2, p2_),
+            p2_,
+        ]
 
-    filled = (
-        F.when(p.isNotNull() & f.isNotNull(), quad_both)
-        .when(p.isNotNull(), quad_pre)
-        .when(f.isNotNull(), extrude_back(f, m_fol))
-        .otherwise(quad_none)
+    def extrude_back(q0, q1, q2, q3, m):
+        """m-step backwards extrusion off quad (q0..q3)."""
+        ux, uy = _unit(q0[0], q0[1], q1[0], q1[1])
+        lx, ly = _unit(q3[0], q3[1], q2[0], q2[1])
+        return [
+            (q0[0] + m * ux, q0[1] + m * uy),
+            (q0[0] + (m - 1) * ux, q0[1] + (m - 1) * uy),
+            (q3[0] + (m - 1) * lx, q3[1] + (m - 1) * ly),
+            (q3[0] + m * lx, q3[1] + m * ly),
+        ]
+
+    def case_fol():
+        f1, f2 = pt("_fol", 1), pt("_fol", 2)
+        return extrude_back(f0, f1, f2, f3, m_fol)
+
+    def case_none():
+        L = [pt("_line", i) for i in range(4)]
+        ext = extrude_back(L[0], L[1], L[2], L[3], m_end)
+        out = []
+        for i in range(4):
+            out.append(
+                (
+                    F.when(m_end == 0, L[i][0]).otherwise(ext[i][0]),
+                    F.when(m_end == 0, L[i][1]).otherwise(ext[i][1]),
+                )
+            )
+        return out
+
+    qb, qp, qf, qn = case_both(), case_pre(), case_fol(), case_none()
+    has_pre = F.col("_pre").isNotNull()
+    has_fol = F.col("_fol").isNotNull()
+    needs_fill = is_word & F.col("sentinel")
+
+    upd = {}
+    for i in range(4):
+        for a, ax in ((0, "x"), (1, "y")):
+            filled = (
+                F.when(has_pre & has_fol, qb[i][a])
+                .when(has_pre, qp[i][a])
+                .when(has_fol, qf[i][a])
+                .otherwise(qn[i][a])
+            )
+            c = f"c{i}{ax}"
+            upd[c] = F.when(needs_fill, filled).otherwise(F.col(c))
+    upd["coords_filled"] = F.when(needs_fill, F.lit(True)).otherwise(
+        F.col("coords_filled")
     )
-
-    needs_fill = is_word & (F.size("coords") == 2)
-    df = df.withColumn(
-        "coords_filled", F.when(needs_fill, F.lit(True)).otherwise(F.col("coords_filled"))
-    ).withColumn(
-        "coords", F.when(needs_fill, filled).otherwise(F.col("coords"))
+    upd["sentinel"] = F.when(needs_fill, F.lit(False)).otherwise(
+        F.col("sentinel")
     )
-    return df.drop("_pre", "_fol", "_fol_idx", "_max_idx", "_line_coords")
+    df = df.withColumns(upd)
+    return df.drop("_pre", "_fol", "_fol_idx", "_max_idx", "_line")
+
+
+def build_coords_array(df: DataFrame) -> DataFrame:
+    """Assemble the public coords column (array of (x, y) structs; the
+    2-point '0,0 0,0' sentinel for never-filled rows) from the scalar
+    corner columns — the ONE place an array-of-struct is constructed."""
+
+    def p(x, y):
+        return F.struct(x.alias("x"), y.alias("y"))
+
+    zero = p(F.lit(0.0), F.lit(0.0))
+    corners = F.array(
+        *[p(F.col(f"c{i}x"), F.col(f"c{i}y")) for i in range(4)]
+    )
+    coords = (
+        F.when(F.col("c0x").isNull(), F.lit(None))
+        .when(F.col("sentinel"), F.array(zero, zero))
+        .otherwise(corners)
+    )
+    return df.withColumn("coords", coords).drop(*CORNER_COLS, "sentinel")

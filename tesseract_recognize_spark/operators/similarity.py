@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure DataFrame ops (F.zip_with/F.aggregate dot products —
+no Python in the loop):
+
+  * brute-force top-k cosine — the exact baseline. Scale shape: broadcast
+    the (small) query set against the full corpus; one shuffle for the
+    per-query top-k window.
+  * LSH-bucketed top-k — the 100-TB path: sign-random-projection buckets
+    (hyperplanes derived deterministically from md5 of the dimension
+    index) prune the candidate set to same-bucket vectors before the
+    exact re-rank. Recall < 1.0 by construction; bucket bits trade recall
+    for cost.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["cosine_sim", "brute_force_topk", "lsh_bucket", "lsh_topk"]
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col
+
+
+def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right sequential dot product (bit-reproducible across
+    engines). With ``dim`` given, the sum is UNROLLED into a codegen-able
+    expression — Spark's higher-order-function lambdas are evaluated
+    interpreted per element, which is ~50x slower in tight join loops."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    dot = dot_product(a, b, dim)
+    na = F.sqrt(dot_product(a, a, dim))
+    nb = F.sqrt(dot_product(b, b, dim))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (vec_id, rank, neighbor_id) — the similarity itself is kept
+    internal so downstream equality checks are float-free; ties break on
+    neighbor id (deterministic). Norms are precomputed once per vector
+    (not once per pair); pass ``dim`` to unroll the dot product."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    base = base.withColumn(
+        "norm", F.sqrt(dot_product(F.col("v"), F.col("v"), dim))
+    )
+    queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
+    q, c = queries.alias("q"), base.alias("c")
+    sim = dot_product(F.col("q.v"), F.col("c.v"), dim) / (
+        F.col("q.norm") * F.col("c.norm")
+    )
+    pairs = q.join(F.broadcast(c), F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-random-projection bucket id.
+
+    Hyperplane h_b's component for dimension d is ±1 from a deterministic
+    hash (md5 of "b|d") — no RNG, reproducible anywhere. bucket =
+    Σ_b 2^b · [⟨v, h_b⟩ > 0]."""
+    terms = []
+    for b in range(bits):
+        signs = [
+            1 if int(hashlib.md5(f"{b}|{d}".encode()).hexdigest(), 16) & 1
+            else -1
+            for d in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        terms.append(
+            F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    n_queries: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine re-rank. The bucket equi-join replaces the cross
+    product — the piece that makes ANN feasible at 10^12 rows."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, bits))
+    queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
+    q, c = queries.alias("q"), base.alias("c")
+    pairs = q.join(
+        c,
+        (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cosine_sim(F.col("q.v"), F.col("c.v")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All per-row native expressions (whole-stage codegen; no
+aggregates over floats, so every value is engine-reproducible and each op
+has an exact DuckDB oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "langid_stopwords",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprint",
+]
+
+# tiny per-language stopword lists; the ORDER of languages breaks ties
+# (first maximal vote wins) — mirrored exactly in the SQL oracle.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "una", "por"),
+}
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+def _in_set(values: tuple[str, ...]):
+    """Single-arg lambda testing set membership — usable inside
+    higher-order functions (Column.isin is not, and extra lambda params
+    would be mis-read as the element-index argument)."""
+
+    def test(w: Column) -> Column:
+        out = w == F.lit(values[0])
+        for v in values[1:]:
+            out = out | (w == F.lit(v))
+        return out
+
+    return test
+
+
+def langid_stopwords(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count stopword hits per language, argmax
+    with fixed language order as the tie-break (a deliberately simple,
+    fully deterministic heuristic — the point is the distributed shape:
+    per-row array intersection, no shuffle at all)."""
+    words = _words(F.col(text_col))
+    votes = {
+        lang: F.size(F.filter(words, _in_set(sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    best = F.lit(langs[0])
+    best_v = votes[langs[0]]
+    for lang in langs[1:]:
+        is_better = votes[lang] > best_v
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_v = F.when(is_better, votes[lang]).otherwise(best_v)
+    pred = F.when(best_v > 0, best).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        *[votes[lang].alias(f"votes_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Pure scalar arithmetic (ints + IEEE +-*/ only) so the score is exactly
+    reproducible in the oracle. Features follow the usual web-corpus
+    heuristics: length, alpha ratio, punct ratio, stopword ratio, mean
+    word length."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    words = F.filter(_words(t), lambda w: F.length(w) > 0)
+    n_words = F.size(words).cast("double")
+    all_sw = tuple(w for sw in STOPWORDS.values() for w in sw)
+    n_stop = F.size(F.filter(words, _in_set(all_sw))).cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    safe_w = F.when(n_words > 0, n_words).otherwise(F.lit(1.0))
+    alpha_ratio = n_alpha / safe_n
+    punct_ratio = n_punct / safe_n
+    stop_ratio = n_stop / safe_w
+    n_nonws = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    mean_wlen = n_nonws / safe_w
+    score = (
+        alpha_ratio * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPEISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(_words(t), lambda w: F.length(w) > 0))
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPEISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpeish_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical content fingerprint: md5 of the lowercased,
+    whitespace-collapsed text (the exact-dedup key after normalization)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        r"^ | $",
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -53,7 +53,10 @@ def run_checkpointed(
         t0 = time.time()
         group_docs = staged.filter(F.col("_grp") == g).drop("_grp")
         out = extract(group_docs, cfg, resolver=resolver)
-        out = out.sortWithinPartitions("doc_id", "order")
+        # physically identical to (doc_id, order) — but keyed on the
+        # columns the order window just sorted by, so SortExec recognizes
+        # the existing ordering and the sink sort is a no-op
+        out = out.sortWithinPartitions("doc_id", "offset", "sub_order")
         entries.append(table_io.commit_group(out, g, run_id, t0))
         if fail_after_group is not None and g >= fail_after_group:
             raise RuntimeError(f"simulated crash after group {g}")

@@ -28,6 +28,7 @@ from tesseract_recognize_spark.operators.normalize import (
 )
 from tesseract_recognize_spark.operators.ocr import ocr_expand
 from tesseract_recognize_spark.operators.postpass import (
+    build_coords_array,
     p1_apply_orientation,
     p2_dominant_baselines,
     p3_fill_word_coords,
@@ -85,8 +86,17 @@ def extract(
     # (doc_id), (doc_id, offset) and (doc_id, offset, line_id) alike)
     all_rows = all_rows.repartition("doc_id")
     all_rows = p1_apply_orientation(all_rows)
-    all_rows = p2_dominant_baselines(all_rows)
+    # P3 before P2 — deliberately swapped vs the reference's P2→P3 order:
+    # the two commute exactly (the 90°/180° rotation is a pointwise
+    # isometry applied uniformly to every coords list, and the filler's
+    # corner picks / unit-vector extrusions are equivariant under it),
+    # and this order lets P2's unordered page window reuse P3's sort
+    # ((doc_id, offset) is a prefix of P3's sort key) — one less full
+    # sort of the span rows. The oracle applies the reference order;
+    # the e2e parity tests pin the equivalence.
     all_rows = p3_fill_word_coords(all_rows)
+    all_rows = p2_dominant_baselines(all_rows)
+    all_rows = build_coords_array(all_rows)
 
     order_w = Window.partitionBy("doc_id").orderBy("offset", "sub_order")
     out = all_rows.withColumn(

@@ -25,6 +25,14 @@ def build_session(
     ~100-200× in the OCR stage, so batches are kept small.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # shuffle/spill files on tmpfs when available — /tmp sits on a virtio
+    # disk in this sandbox and makes shuffle-heavy stages I/O-bound and
+    # noisy (on a real cluster this is local NVMe / EBS, configured by the
+    # cluster manager)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -38,6 +46,11 @@ def build_session(
         )
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", local_dir or "/tmp")
+        # throughput-oriented GC for the batch workload: G1's adaptive
+        # sizing produced multi-10s pause outliers on the window-heavy
+        # stage in local mode
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if shuffle_partitions:

@@ -1,0 +1,53 @@
+"""Adapters for the driver-provided /root/testdata tables.
+
+The driver's ``documents`` table (doc_id:int64, text, lang, source, n_chars)
+does not match the input_hint span shape (FIXTURES.md §4), so for the
+extraction pipeline we derive a span-shaped table from it deterministically
+and natively (every doc gets two text spans; every third doc also gets one
+media span whose ref seeds the mock raster)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["load_table", "spans_from_sf_documents"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spans_from_sf_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id int64, text, ...) → documents(doc_id string, spans).
+
+    Pure column expressions — the same construction is expressible in ANSI
+    SQL, which keeps derived queries oracle-checkable."""
+    text = F.col("text")
+    half = F.floor(F.length(text) / 2).cast("int")
+
+    def span(kind, txt, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            txt.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    s1 = span("text", text.substr(F.lit(1), half), F.lit(""), 0)
+    s2 = span(
+        "text", text.substr(half + 1, F.length(text) - half), F.lit(""), 1
+    )
+    media_ref = F.concat(
+        F.lit("media://doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("/0#"),
+        F.substring(F.md5(text), 1, 8),
+    )
+    s3 = span("media", F.lit(""), media_ref, 2)
+    spans = F.when(
+        F.col("doc_id") % 3 == 0, F.array(s1, s2, s3)
+    ).otherwise(F.array(s1, s2))
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        spans.alias("spans"),
+    )

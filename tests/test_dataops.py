@@ -1,0 +1,141 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing. Cross-engine value equality is covered by the driver
+gate (scripts/check_correctness.py); these tests pin semantics."""
+
+import numpy as np
+import pytest
+
+from tesseract_recognize_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from tesseract_recognize_spark.operators.multimodal import (
+    decode_image_features,
+    fake_codec,
+    frame_sample,
+    synth_media_bytes,
+)
+from tesseract_recognize_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from tesseract_recognize_spark.operators.textstats import (
+    langid_stopwords,
+    quality_score,
+    token_counts,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog sat", "en"),
+        (2, "the cat and the dog sat", "en"),        # exact dup of 1
+        (3, "the cat and the dog sat here", "en"),   # near dup
+        (4, "der hund und die katze ist da und das", "de"),
+        (5, "completely different text about spark engines", "en"),
+        (6, "xy", "en"),                              # shorter than a shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2          # docs 1+2 collapse
+    assert out[3] == 1
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs                       # identical → all bands match
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+
+def test_simhash_similar_texts_close(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
+    assert sigs[1] == sigs[2]
+    ham = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham < ham_far
+
+
+def test_brute_force_topk_ranks(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),     # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),    # farthest from 0
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = brute_force_topk(emb, k=3)
+    rows = {(r["vec_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    assert rows[(0, 1)] == 1 and rows[(0, 3)] == 3
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    rng = np.random.RandomState(0)
+    vecs = [(i, rng.randn(16).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=39).collect()
+    }
+    approx = lsh_topk(emb, dim=16, k=5, bits=4).collect()
+    assert len(approx) > 0
+    assert all((r["vec_id"], r["neighbor_id"]) in exact for r in approx)
+
+
+def test_langid_and_stats(spark, docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in langid_stopwords(docs).collect()}
+    assert pred[1] == "en" and pred[4] == "de"
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0 <= q[1]["quality_score"] <= 1
+    assert q[1]["n_words"] == 6
+    t = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert t[1]["ws_tokens"] == 6
+    assert t[1]["bpeish_tokens"] == 6
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        ("m://a", synth_media_bytes("m://a", 32, 16)),
+        ("m://b", synth_media_bytes("m://b", 640, 480, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["media_ref", "payload"])
+    out = decode_image_features(df, codec=fake_codec, resize_to=4).collect()
+    by_ref = {r["media_ref"]: r for r in out}
+    assert by_ref["m://a"].width == 32 and by_ref["m://a"].height == 16
+    assert by_ref["m://b"].channels == 1
+    assert len(by_ref["m://a"].features) == 16
+    # deterministic across runs
+    again = decode_image_features(df, codec=fake_codec, resize_to=4).collect()
+    assert sorted(r["features"] for r in again) == sorted(
+        r["features"] for r in out
+    )
+
+
+def test_multimodal_no_codec_raises(spark):
+    df = spark.createDataFrame(
+        [("m://a", synth_media_bytes("m://a", 8, 8))], ["media_ref", "payload"]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        decode_image_features(df).collect()
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([("v1", 25)], ["media_ref", "n_frames"])
+    out = frame_sample(df, every_n=10).collect()
+    assert [r["frame_idx"] for r in out] == [0, 10, 20]
