@@ -52,6 +52,7 @@ def _row(**kw) -> dict:
         block_type=None,
         region_id=None,
         line_id=None,
+        line_sub=None,
         word_idx=None,
         glyph_idx=None,
         text="",
@@ -134,6 +135,9 @@ def emit_page_rows(
                 level="region",
                 block_type=blk["block_type"],
                 region_id=rid,
+                # regions have no line: anchor to self so the combined
+                # (line_sub, sub_order) sort equals plain sub_order
+                line_sub=sub,
                 text=region_text,
                 conf=CONF_OK if cfg.text_at("region") else None,
                 **to_r(blk["bbox"]),
@@ -146,12 +150,19 @@ def emit_page_rows(
         for pi, para in enumerate(blk["paras"], start=1):
             for li, line in enumerate(para, start=1):
                 lid = f"{rid}_p{pi}_l{li}"
+                # numeric within-page anchor of this line: shared by the
+                # line and its word/glyph children, it keys the P3 sibling
+                # window with a sort order that COINCIDES with emission
+                # order — so the downstream order-assignment window reuses
+                # the same sort (PLANS.md)
+                line_sub = sub
                 lrow = _row(
                     sub_order=sub,
                     level="line",
                     block_type=blk["block_type"],
                     region_id=rid,
                     line_id=lid,
+                    line_sub=line_sub,
                     text=(
                         " ".join(w["text"] for w in line["words"])
                         if cfg.text_at("line")
@@ -188,6 +199,7 @@ def emit_page_rows(
                             block_type=blk["block_type"],
                             region_id=rid,
                             line_id=lid,
+                            line_sub=line_sub,
                             word_idx=wi,
                             text=word["text"] if cfg.text_at("word") else "",
                             conf=(
@@ -211,6 +223,7 @@ def emit_page_rows(
                                 block_type=blk["block_type"],
                                 region_id=rid,
                                 line_id=lid,
+                                line_sub=line_sub,
                                 word_idx=wi,
                                 glyph_idx=gi,
                                 text=(

@@ -175,8 +175,10 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
 
     All window inputs/outputs are scalar doubles; the pre/fol neighbor
     corner pairs travel as one struct per row through the ignorenulls
-    last/first frames."""
-    line_part = Window.partitionBy("doc_id", "offset", "line_id")
+    last/first frames. The line partition keys on the numeric line_sub
+    anchor (not the line_id string): its sort coincides with emission
+    order, so the downstream order-assignment window reuses this sort."""
+    line_part = Window.partitionBy("doc_id", "offset", "line_sub")
     w_order = line_part.orderBy("sub_order")
     preceding = w_order.rowsBetween(Window.unboundedPreceding, -1)
     following = w_order.rowsBetween(1, Window.unboundedFollowing)

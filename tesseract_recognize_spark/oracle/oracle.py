@@ -95,6 +95,7 @@ _TEXT_ROW_DEFAULTS = dict(
     block_type=None,
     region_id=None,
     line_id=None,
+    line_sub=None,
     word_idx=None,
     glyph_idx=None,
     conf=None,

@@ -56,7 +56,9 @@ def run_checkpointed(
         # physically identical to (doc_id, order) — but keyed on the
         # columns the order window just sorted by, so SortExec recognizes
         # the existing ordering and the sink sort is a no-op
-        out = out.sortWithinPartitions("doc_id", "offset", "sub_order")
+        out = out.sortWithinPartitions(
+            "doc_id", "offset", "line_sub", "sub_order"
+        )
         entries.append(table_io.commit_group(out, g, run_id, t0))
         if fail_after_group is not None and g >= fail_after_group:
             raise RuntimeError(f"simulated crash after group {g}")

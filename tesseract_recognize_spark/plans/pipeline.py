@@ -98,7 +98,12 @@ def extract(
     all_rows = p2_dominant_baselines(all_rows)
     all_rows = build_coords_array(all_rows)
 
-    order_w = Window.partitionBy("doc_id").orderBy("offset", "sub_order")
+    # (offset, line_sub, sub_order) orders identically to
+    # (offset, sub_order) — line_sub is monotone in sub_order within a
+    # page — but matches P3's sort exactly, so NO additional sort here
+    order_w = Window.partitionBy("doc_id").orderBy(
+        "offset", "line_sub", "sub_order"
+    )
     out = all_rows.withColumn(
         "order", (F.row_number().over(order_w) - 1).cast("int")
     ).select(*FINAL_COLUMNS)

@@ -38,6 +38,7 @@ MEDIA_ROWS_SCHEMA = T.StructType(
         T.StructField("block_type", T.IntegerType()),
         T.StructField("region_id", T.StringType()),
         T.StructField("line_id", T.StringType()),
+        T.StructField("line_sub", T.IntegerType()),
         T.StructField("word_idx", T.IntegerType()),
         T.StructField("glyph_idx", T.IntegerType()),
         T.StructField("text", T.StringType()),
@@ -79,6 +80,7 @@ FINAL_COLUMNS = [
     "block_type",
     "region_id",
     "line_id",
+    "line_sub",
     "word_idx",
     "glyph_idx",
     "conf",

@@ -47,9 +47,9 @@ def stream_extract(
 
     def process_batch(batch_df, batch_id: int) -> None:
         out = extract(batch_df, cfg, resolver=resolver)
-        out.sortWithinPartitions("doc_id", "offset", "sub_order").write.mode(
-            "append"
-        ).parquet(output_dir)
+        out.sortWithinPartitions(
+            "doc_id", "offset", "line_sub", "sub_order"
+        ).write.mode("append").parquet(output_dir)
 
     writer = (
         src.writeStream.foreachBatch(process_batch)
