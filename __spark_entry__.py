@@ -271,7 +271,24 @@ def _hash64_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def _minhash_lsh_oracle() -> str:
+# Golden parquet produced by the pure-Python oracle over the sf0.01-derived
+# span corpus (scripts/make_golden.py) — the driver runs oracles at sf0.01.
+# This puts the flagship mock-OCR pipeline under the hard rows/schema/hash
+# gate (the oracle derives spans independently of Spark and of the decoder).
+GOLDEN_EXTRACT_FULL = "/root/repo/golden/extract_full_sf0.01.parquet"
+
+
+def _extract_full_oracle() -> str:
+    return f"""
+SELECT doc_id, "order", kind, text, media_ref, level, region_id, line_id
+FROM '{GOLDEN_EXTRACT_FULL}'
+"""
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain: shingles → base hashes → 16 minhashes → bands →
+    distinct LSH candidate pairs (mirrors operators/dedup.py exactly —
+    minhash values are min-over-the-same-multiset on both sides)."""
     from tesseract_recognize_spark.operators.dedup import MH_P, mh_coeffs
 
     mh_cols = ", ".join(
@@ -298,11 +315,74 @@ hashed AS (
 sigs AS (
   SELECT doc_id, {mh_cols} FROM hashed
 ),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return _minhash_ctes() + "\nSELECT doc_a, doc_b FROM cand\n"
+
+
+def _ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+    return (
+        _minhash_ctes()
+        + f"""
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         AS jaccard
+  FROM cand c
+  JOIN shing a ON a.doc_id = c.doc_a
+  JOIN shing b ON b.doc_id = c.doc_b
+)
+WHERE jaccard >= {threshold}
+"""
+    )
+
+
+def _ann_lsh_oracle(
+    dim: int = 64, k: int = 5, bits: int = 8, n_queries: int = 50
+) -> str:
+    """DuckDB oracle for lsh_topk, generated from the SAME md5-derived
+    hyperplane sign constants the Spark expression is built from
+    (operators/similarity.py:lsh_signs). list_dot_product is a sequential
+    left-to-right sum, matching Spark's unrolled dot product bit-for-bit
+    (verified by the round-1 ann_cosine_topk green row)."""
+    from tesseract_recognize_spark.operators.similarity import lsh_signs
+
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{s}]) > 0 THEN {p} ELSE 0 END)".format(
+            s=", ".join(f"{float(x)}" for x in lsh_signs(b, dim)), p=1 << b
+        )
+        for b in range(bits)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  SELECT vec_id, v,
+         sqrt(list_dot_product(v, v)) AS norm,
+         ({bucket}) AS bucket
+  FROM base
+),
+pairs AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS sim
+  FROM bk q JOIN bk c
+    ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
 """
 
 
@@ -390,8 +470,10 @@ WINDOW
         "dominant_orientation": """
 WITH v AS (
   SELECT l_orderkey,
-         sum(CASE l_partkey % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END) AS sum_dx,
-         sum(CASE l_partkey % 4 WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END) AS sum_dy
+         -- ::BIGINT: DuckDB sum(INTEGER) yields HUGEINT; Spark sum(int)
+         -- yields BIGINT, and the driver's value hash is typed
+         sum(CASE l_partkey % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END)::BIGINT AS sum_dx,
+         sum(CASE l_partkey % 4 WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END)::BIGINT AS sum_dy
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT l_orderkey, sum_dx, sum_dy,
@@ -412,24 +494,7 @@ FROM documents GROUP BY 1
 """,
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_simhash": _simhash_oracle(),
-        "dedup_ngram_jaccard": f"""
-WITH base AS (
-  SELECT doc_id, lang,
-         floor(length(text) / 64)::BIGINT AS lb,
-         {_SHINGLES_SQL} AS sh
-  FROM documents
-),
-nz AS (SELECT * FROM base WHERE len(sh) > 0)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.sh, b.sh))::DOUBLE
-       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
-       AS jaccard
-FROM nz a JOIN nz b
-  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
-      >= 0.8
-""",
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.8),
         "ann_cosine_topk": """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (
@@ -499,6 +564,6 @@ EXCEPT
 SELECT concat('media://', doc_id, '/0') AS media_ref
 FROM documents WHERE doc_id % 6 = 0
 """,
-        # extract_full, ann_lsh_topk: intentionally no oracle (non-SQL ops:
-        # the mock-OCR UDF pipeline / LSH bucketing) → rows-only check
+        "ann_lsh_topk": _ann_lsh_oracle(dim=64, k=5, bits=8, n_queries=50),
+        "extract_full": _extract_full_oracle(),
     }

@@ -7,11 +7,15 @@ you'd swap `_hash64` for xxhash64 (same shape, one line).
 Scale notes (the 100-TB arguments):
   * exact dedup is one hash-aggregate — map-side partial aggregation makes
     the shuffle carry only distinct hashes per partition;
+  * MinHash signatures are computed by exploding shingles ONCE and taking
+    the n_hashes minimums as codegen `min((a_i*h+b_i) % p)` aggregates in a
+    single map-side-combinable groupBy — no higher-order-function lambdas
+    (those run interpreted per element and dominated the round-1 bench);
   * MinHash-LSH shuffles once on (band_id, band_hash) — candidate pairs
     never materialize the O(n²) cross product;
-  * n-gram Jaccard prunes the self-join by (lang, length-bucket) blocking
-    before the quadratic verify, and AQE's skew-join splitting handles hot
-    buckets.
+  * n-gram Jaccard verifies the MinHash-LSH candidate pairs (linear joins
+    on doc_id) instead of self-joining coarse blocks — no quadratic term
+    inside a hot (lang, length) bucket at corpus scale.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ __all__ = [
     "hash64_expr",
     "exact_dedup",
     "char_shingles",
+    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signature",
     "ngram_jaccard_pairs",
@@ -69,6 +74,53 @@ def char_shingles(col: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns mh0..mh{n-1}.
+
+    Shingles are EXPLODED once (position-exploded substrings — duplicates
+    don't change a min, so no distinct pass is needed) and the n_hashes
+    minimums run as whole-stage-codegen `min(pmod(a_i*h + b_i, p))`
+    aggregates in one map-side-combinable groupBy. Values are identical to
+    the naive per-doc array form (min over the same multiset) so the DuckDB
+    oracle (list_min over list_distinct shingles) still matches bit-for-bit.
+    One md5 per shingle position; universal hashing g_i(h) = (a_i·h + b_i)
+    mod p over the 31-bit base hash keeps products < 2^62 — no overflow in
+    any engine.
+    """
+    n = F.length(F.col(text_col))
+    exploded = (
+        docs.where(n >= shingle_k)
+        .select(
+            "doc_id",
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), n - (shingle_k - 1))
+            ).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.pmod(
+                hash64_expr(F.col("_t").substr(F.col("_i"), F.lit(shingle_k))),
+                F.lit(MH_P),
+            ).alias("h"),
+        )
+    )
+    aggs = []
+    for i in range(n_hashes):
+        a, b = mh_coeffs(i)
+        aggs.append(
+            F.min(
+                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MH_P))
+            ).alias(f"mh{i}")
+        )
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -82,29 +134,7 @@ def minhash_lsh_pairs(
     (band_id, band_hash). Returns distinct (doc_a, doc_b) candidate pairs
     (doc_a < doc_b). One shuffle on the band key; no cross product.
     """
-    shingles = char_shingles(F.col(text_col), shingle_k)
-    # one md5 per shingle; the n_hashes minhash functions are derived by
-    # universal hashing g_i(h) = (a_i·h + b_i) mod p over the 31-bit base
-    # hash (products stay < 2^62 — no bigint overflow in any engine)
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            shingles, lambda s: F.pmod(hash64_expr(s), F.lit(MH_P))
-        ).alias("hs"),
-    ).where(F.size("hs") > 0)
-
-    def mh_col(i: int):
-        a, b = mh_coeffs(i)
-        # NB: single-parameter lambda — a second one would be bound to the
-        # array index by F.transform
-        return F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MH_P)),
-            )
-        ).alias(f"mh{i}")
-
-    sigs = hashed.select("doc_id", *[mh_col(i) for i in range(n_hashes)])
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
     bands = sigs.select(
         "doc_id",
@@ -178,37 +208,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
-    length_bucket: int = 64,
+    n_hashes: int = 16,
+    band_size: int = 4,
 ) -> DataFrame:
-    """Near-duplicate pairs by character n-gram Jaccard similarity.
+    """Near-duplicate pairs: exact character n-gram Jaccard verification of
+    the MinHash-LSH candidate pairs.
 
-    Blocking: candidates must share lang and a length bucket (a true near-
-    dup at ≥0.8 Jaccard has nearly equal length, so same-or-adjacent bucket;
-    we use same-bucket for the oracle-checkable variant). Jaccard =
-    |∩| / (|a| + |b| - |∩|) on distinct shingles — exact integer/double
-    arithmetic, engine-independent.
+    Blocking is the banded-LSH candidate join (linear: one shuffle on the
+    band key), NOT a self-join on coarse (lang, length) blocks — a hot
+    block at corpus scale would be O(n²) inside the block. The verify is
+    two linear equi-joins on doc_id pulling each candidate's distinct
+    shingle set, then Jaccard = |∩| / (|a| + |b| - |∩|) — exact
+    integer/double arithmetic, engine-independent. Recall is governed by
+    the (n_hashes, band_size) S-curve, the standard MinHash trade.
     """
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.length(text_col) / length_bucket).alias("lb"),
-        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    cands = minhash_lsh_pairs(docs, text_col, n_hashes, band_size, shingle_k)
+    sh = docs.select(
+        "doc_id", char_shingles(F.col(text_col), shingle_k).alias("sh")
     ).where(F.size("sh") > 0)
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return joined.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)

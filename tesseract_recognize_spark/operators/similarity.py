@@ -19,7 +19,13 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["cosine_sim", "brute_force_topk", "lsh_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_sim",
+    "brute_force_topk",
+    "lsh_signs",
+    "lsh_bucket",
+    "lsh_topk",
+]
 
 
 def _as_double(col) -> Column:
@@ -77,7 +83,9 @@ def brute_force_topk(
     sim = dot_product(F.col("q.v"), F.col("c.v"), dim) / (
         F.col("q.norm") * F.col("c.norm")
     )
-    pairs = q.join(F.broadcast(c), F.col("q.vec_id") != F.col("c.vec_id")).select(
+    # broadcast the SMALL query set against the streamed corpus — at 10^9+
+    # corpus vectors the other direction is an executor OOM
+    pairs = F.broadcast(q).join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
         F.col("q.vec_id").alias("vec_id"),
         F.col("c.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
@@ -92,28 +100,27 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Sign-random-projection bucket id.
+def lsh_signs(b: int, dim: int) -> list[int]:
+    """Hyperplane h_b's ±1 components: deterministic md5 of "b|d" — no RNG,
+    reproducible in any engine (the DuckDB oracle is generated from the
+    same constants)."""
+    return [
+        1 if int(hashlib.md5(f"{b}|{d}".encode()).hexdigest(), 16) & 1
+        else -1
+        for d in range(dim)
+    ]
 
-    Hyperplane h_b's component for dimension d is ±1 from a deterministic
-    hash (md5 of "b|d") — no RNG, reproducible anywhere. bucket =
-    Σ_b 2^b · [⟨v, h_b⟩ > 0]."""
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-random-projection bucket id: Σ_b 2^b · [⟨v, h_b⟩ > 0].
+
+    Each projection is the UNROLLED codegen dot product against a literal
+    ±1 array (constant-folded) — no interpreted higher-order lambdas in
+    what is a per-vector hot path."""
     terms = []
     for b in range(bits):
-        signs = [
-            1 if int(hashlib.md5(f"{b}|{d}".encode()).hexdigest(), 16) & 1
-            else -1
-            for d in range(dim)
-        ]
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        signs = F.array(*[F.lit(float(s)) for s in lsh_signs(b, dim)])
+        proj = dot_product(vec, signs, dim)
         terms.append(
             F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
         )
@@ -135,12 +142,21 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine re-rank. The bucket equi-join replaces the cross
     product — the piece that makes ANN feasible at 10^12 rows."""
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim, bits))
+    base = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        # bucket AND norm computed once per vector, pre-join — the join hot
+        # loop is then a single unrolled dot product + one divide
+        .withColumn("bucket", lsh_bucket(F.col("v"), dim, bits))
+        .withColumn("norm", F.sqrt(dot_product(F.col("v"), F.col("v"), dim)))
+    )
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
+    sim = dot_product(F.col("q.v"), F.col("c.v"), dim) / (
+        F.col("q.norm") * F.col("c.norm")
+    )
     pairs = q.join(
         c,
         (F.col("q.bucket") == F.col("c.bucket"))
@@ -148,7 +164,7 @@ def lsh_topk(
     ).select(
         F.col("q.vec_id").alias("vec_id"),
         F.col("c.vec_id").alias("neighbor_id"),
-        cosine_sim(F.col("q.v"), F.col("c.v")).alias("sim"),
+        sim.alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
