@@ -30,7 +30,9 @@ MARGIN = 8           # blank border around page content
 LINE_GAP = 3         # blank rows between lines within a paragraph
 PARA_GAP = 6         # blank rows between paragraphs within a block
 BLOCK_GAP = 12       # blank rows between blocks
-NONTEXT_H = 20       # solid-rectangle height of a non-text block
+# Non-text blocks render as solid rectangles whose HEIGHT encodes the block
+# type: height = NONTEXT_H_BASE + (block_type - 9) for types 9..14.
+NONTEXT_H_BASE = 16
 
 # --- semantics ----------------------------------------------------------
 # Tesseract PolyBlockType: block types 0..8 are textual and kept; 9..14

@@ -26,6 +26,7 @@ from tesseract_recognize_spark.constants import (
     GLYPH_H,
     LINE_GAP,
     MARGIN,
+    NONTEXT_H_BASE,
     PARA_GAP,
     WORD_GAP,
 )
@@ -46,9 +47,9 @@ __all__ = [
     "render_raster",
 ]
 
-# Non-text blocks are rendered as solid rectangles whose height encodes the
-# Tesseract PolyBlockType (9..14 — images, rules, noise): height = 16+(t-9).
-NONTEXT_H_BASE = 16
+# NONTEXT_H_BASE (solid-rectangle height encoding for non-text block types)
+# lives in constants.py with the rest of the raster contract and is
+# re-exported here for the decoder's existing import path.
 
 
 class HashStream:

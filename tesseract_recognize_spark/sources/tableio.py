@@ -6,9 +6,9 @@ per-partition lineage. No Iceberg runtime jar ships in this sandbox
 identical commit/resume semantics:
 
   * ``IcebergTableIO`` — used when an Iceberg catalog is configured on the
-    session: each partition-group commit is ``writeTo(...).append()`` (one
-    Iceberg snapshot per group), and the lineage rows land in a second
-    Iceberg table.
+    session: each partition-group commit is a dynamic partition overwrite
+    (one Iceberg snapshot per group, idempotent under replay), and the
+    lineage rows land in a second Iceberg table.
   * ``ParquetTableIO`` — local fallback: each group is a parquet subdir
     committed by an atomic manifest-line append; resume reads the manifest.
 
@@ -100,14 +100,23 @@ class ParquetTableIO:
 
 class IcebergTableIO:
     """Iceberg-backed implementation (same contract). Requires an Iceberg
-    catalog on the session; each group commit is one snapshot of
-    ``table``, lineage appends go to ``table + '_lineage'``."""
+    catalog on the session. The data table is partitioned by a ``_group``
+    column and each group commit is a dynamic partition OVERWRITE (one
+    Iceberg snapshot) — idempotent under replay, so a crash between the
+    data commit and the lineage commit cannot duplicate rows on resume
+    (re-running the group rewrites the same partition). Lineage rows land
+    in ``table + '_lineage'``; duplicate lineage entries for a re-run group
+    collapse in ``committed_groups`` (dict keyed by group)."""
+
+    GROUP_COL = "_group"
 
     def __init__(self, table: str) -> None:
         self.table = table
 
     def committed_groups(self) -> dict[int, LineageEntry]:
         spark = SparkSession.getActiveSession()
+        if not spark.catalog.tableExists(self.table + "_lineage"):
+            return {}  # first run: nothing committed yet
         rows = spark.read.table(self.table + "_lineage").collect()
         return {
             r["group"]: LineageEntry(**r.asDict())
@@ -118,10 +127,24 @@ class IcebergTableIO:
     def commit_group(
         self, df: DataFrame, group: int, run_id: str, t0: float
     ) -> LineageEntry:
+        from pyspark.sql import functions as F
+
         spark = df.sparkSession
-        df.writeTo(self.table).append()  # one snapshot per group
-        doc_count = df.select("doc_id").distinct().count()
-        span_count = df.count()
+        data = df.withColumn(self.GROUP_COL, F.lit(group))
+        if spark.catalog.tableExists(self.table):
+            data.writeTo(self.table).overwritePartitions()
+        else:
+            data.writeTo(self.table).partitionedBy(
+                F.col(self.GROUP_COL)
+            ).create()
+        # lineage counts come from the COMMITTED snapshot (partition-pruned
+        # scan of what was just written) — never from re-executing the
+        # uncached extraction plan, which would run it twice more
+        committed = spark.read.table(self.table).where(
+            F.col(self.GROUP_COL) == group
+        )
+        doc_count = committed.select("doc_id").distinct().count()
+        span_count = committed.count()
         entry = LineageEntry(
             run_id=run_id,
             group=group,
@@ -131,17 +154,21 @@ class IcebergTableIO:
             status="committed",
             committed_at=time.time(),
         )
-        spark.createDataFrame([asdict(entry)]).writeTo(
-            self.table + "_lineage"
-        ).append()
+        lineage = spark.createDataFrame([asdict(entry)])
+        if spark.catalog.tableExists(self.table + "_lineage"):
+            lineage.writeTo(self.table + "_lineage").append()
+        else:
+            lineage.writeTo(self.table + "_lineage").create()
         return entry
 
     def read_all(self, spark: SparkSession) -> DataFrame:
-        return spark.read.table(self.table)
+        return spark.read.table(self.table).drop(self.GROUP_COL)
 
 
 def get_table_io(target: str):
-    """'/path/dir' → ParquetTableIO; 'catalog.db.table' → IcebergTableIO."""
-    if os.sep in target or target.startswith("."):
-        return ParquetTableIO(target)
-    return IcebergTableIO(target)
+    """Route by target shape: a catalog identifier ('catalog.db.table' —
+    contains '.' and no path separator) → IcebergTableIO; anything else,
+    including a bare relative directory name like 'out', → ParquetTableIO."""
+    if "." in target and os.sep not in target and not target.startswith("."):
+        return IcebergTableIO(target)
+    return ParquetTableIO(target)

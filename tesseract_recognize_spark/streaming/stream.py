@@ -5,7 +5,8 @@ but a trillion-document corpus arrives continuously — this wraps the SAME
 batch plan in a Structured Streaming file source with foreachBatch, giving
 exactly-once incremental extraction with the engine's usual checkpoint
 story (the streaming checkpoint tracks consumed input files; each
-micro-batch runs the full distributed extract plan and appends).
+micro-batch runs the full distributed extract plan and writes its own
+batch-keyed partition directory, so replays after a crash are idempotent).
 
 foreachBatch (rather than a pure streaming DAG) is deliberate: the order-
 assignment window and the P2/P3 post-pass windows are per-document total
@@ -46,10 +47,15 @@ def stream_extract(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
+        # foreachBatch is at-least-once; writing each micro-batch to a
+        # deterministic batch_id-keyed subdirectory with overwrite makes the
+        # replay idempotent — the checkpoint-commit/write race can only
+        # rewrite the same directory, never duplicate rows. Readers get the
+        # union via parquet partition discovery on `batch=`.
         out = extract(batch_df, cfg, resolver=resolver)
         out.sortWithinPartitions(
             "doc_id", "offset", "line_sub", "sub_order"
-        ).write.mode("append").parquet(output_dir)
+        ).write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = (
         src.writeStream.foreachBatch(process_batch)
