@@ -37,9 +37,11 @@ from tesseract_recognize_spark.operators.textstats import (
     quality_score,
     token_counts,
 )
-from tesseract_recognize_spark.plans.pipeline import extract
+from tesseract_recognize_spark.operators.explode import explode_spans
+from tesseract_recognize_spark.plans.pipeline import extract, extract_crops
 from tesseract_recognize_spark.sources.testdata import (
     load_table,
+    region_crops_for_media,
     spans_from_sf_documents,
 )
 
@@ -221,6 +223,69 @@ def q_extract_full(spark, sf_dir):
     return _extract_full(spark, sf_dir)
 
 
+def q_extract_region_crops(spark, sf_dir):
+    # S4/S5: region-crop recognition — crop each upright page to its first
+    # text block's bbox, recognize the crop, offset-add-back + crop-id
+    # prefix (reference tesseract-recognize.cc:428-451,663-666,677).
+    # Crop selection derives from the deterministic layout contract; the
+    # collect is over the (small) media-span side to build the crops input,
+    # not over results.
+    docs = spans_from_sf_documents(load_table(spark, sf_dir, "documents"))
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"),
+                F.col("s.media_ref").alias("media_ref"))
+    )
+    pairs = [
+        (r["doc_id"], r["offset"], r["media_ref"]) for r in media.collect()
+    ]
+    crops = region_crops_for_media(pairs)
+    crops_df = spark.createDataFrame(
+        [(c["doc_id"], c["offset"], c["crop_id"],
+          c["x0"], c["y0"], c["x1"], c["y1"]) for c in crops],
+        "doc_id string, offset int, crop_id string, "
+        "crop_x0 int, crop_y0 int, crop_x1 int, crop_y1 int",
+    )
+    cfg = ExtractConfig(psm="auto", media_partitions=32)
+    out = extract_crops(docs, crops_df, cfg)
+    return out.select(
+        "doc_id", "order", "kind", "text", "media_ref", "level",
+        "region_id", "line_id",
+    )
+
+
+def q_page_set_select(spark, sf_dir):
+    # S2: page-set selection ("file.pdf[0-2,5]") — filter media spans by
+    # 0-based ordinal INSIDE the spans array, before the explode (the
+    # skip-before-decode analog); survivors renumber (media_idx 1..n).
+    docs = load_table(spark, sf_dir, "documents")
+    with_spans = docs.select(
+        "doc_id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.concat(
+                        F.lit("media://"), F.col("doc_id").cast("string"),
+                        F.lit(f"/{j}"),
+                    ).alias("media_ref"),
+                    F.lit(j).cast("int").alias("offset"),
+                )
+                for j in range(4)
+            ]
+        ).alias("spans"),
+    )
+    out = explode_spans(with_spans, pages=frozenset({0, 2}))
+    return out.select(
+        "doc_id",
+        F.col("media_idx").cast("bigint").alias("media_idx"),
+        F.col("n_media").cast("bigint").alias("n_media"),
+        "media_ref",
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # approximate ANN (bucketed) — not SQL-expressible cheaply (rows-only)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -248,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "media_reconcile": q_media_reconcile,
         "extract_full": q_extract_full,
+        "extract_region_crops": q_extract_region_crops,
+        "page_set_select": q_page_set_select,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -276,13 +343,18 @@ def _hash64_sql(expr: str) -> str:
 # This puts the flagship mock-OCR pipeline under the hard rows/schema/hash
 # gate (the oracle derives spans independently of Spark and of the decoder).
 GOLDEN_EXTRACT_FULL = "/root/repo/golden/extract_full_sf0.01.parquet"
+GOLDEN_EXTRACT_CROPS = "/root/repo/golden/extract_crops_sf0.01.parquet"
+
+
+def _golden_oracle(path: str) -> str:
+    return f"""
+SELECT doc_id, "order", kind, text, media_ref, level, region_id, line_id
+FROM '{path}'
+"""
 
 
 def _extract_full_oracle() -> str:
-    return f"""
-SELECT doc_id, "order", kind, text, media_ref, level, region_id, line_id
-FROM '{GOLDEN_EXTRACT_FULL}'
-"""
+    return _golden_oracle(GOLDEN_EXTRACT_FULL)
 
 
 def _minhash_ctes() -> str:
@@ -566,4 +638,14 @@ FROM documents WHERE doc_id % 6 = 0
 """,
         "ann_lsh_topk": _ann_lsh_oracle(dim=64, k=5, bits=8, n_queries=50),
         "extract_full": _extract_full_oracle(),
+        "extract_region_crops": _golden_oracle(GOLDEN_EXTRACT_CROPS),
+        "page_set_select": """
+SELECT doc_id, 1::BIGINT AS media_idx, 2::BIGINT AS n_media,
+       concat('media://', doc_id, '/0') AS media_ref
+FROM documents
+UNION ALL
+SELECT doc_id, 2::BIGINT AS media_idx, 2::BIGINT AS n_media,
+       concat('media://', doc_id, '/2') AS media_ref
+FROM documents
+""",
     }

@@ -18,6 +18,7 @@ from tesseract_recognize_spark.session import build_session
 def main() -> None:
     cores = int(sys.argv[1])
     input_path = sys.argv[2]
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     spark = build_session(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
@@ -32,7 +33,7 @@ def main() -> None:
     # single warm-up is not enough for a stable steady-state measurement
     out = extract(docs, cfg)
     walls = []
-    for _ in range(6):
+    for _ in range(n_runs):
         t0 = time.time()
         out.write.format("noop").mode("overwrite").save()
         walls.append(round(time.time() - t0, 2))

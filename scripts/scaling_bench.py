@@ -27,24 +27,30 @@ from tesseract_recognize_spark.fixtures.generator import (
 )
 
 
-def ensure_corpus(n_docs: int) -> str:
-    path = f"/tmp/spark_graft_scaling/docs_{n_docs}.parquet"
+def ensure_corpus(n_docs: int, n_files: int = 128) -> str:
+    # multi-file corpus: a single small parquet file is ONE input split in
+    # Spark regardless of cores, which injects a serial scan+explode term a
+    # real (many-file) table doesn't have — it capped round-1 scaling
+    path = f"/tmp/spark_graft_scaling/docs_{n_docs}_f{n_files}"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t0 = time.time()
-        write_documents_parquet(gen_documents(n_docs, seed=42), path)
+        write_documents_parquet(
+            gen_documents(n_docs, seed=42), path, n_files=n_files
+        )
         print(f"generated {n_docs} docs in {time.time() - t0:.1f}s", file=sys.stderr)
     return path
 
 
-def run_child(cores: int, path: str) -> dict:
+def run_child(cores: int, path: str, n_runs: int = 8) -> dict:
     env = dict(os.environ)
     # local mode runs every task in the one driver JVM: size its heap for
     # `cores` concurrent sort buffers, or high-core runs spill and the
     # scaling measurement is bounded by disk, not CPU
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(
-        [sys.executable, "scripts/_scaling_child.py", str(cores), path],
+        [sys.executable, "scripts/_scaling_child.py", str(cores), path,
+         str(n_runs)],
         capture_output=True, text=True, check=True, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])

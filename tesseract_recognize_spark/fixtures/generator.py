@@ -102,20 +102,46 @@ SPAN_ARROW_TYPE = pa.list_(
 )
 
 
-def write_documents_parquet(docs: list[dict], path: str) -> None:
-    table = pa.table(
-        {
-            "doc_id": pa.array([d["doc_id"] for d in docs], pa.string()),
-            "spans": pa.array(
-                [
+def write_documents_parquet(
+    docs: list[dict], path: str, n_files: int = 1
+) -> None:
+    """Write the corpus as parquet: a single file, or (``n_files > 1``) a
+    directory of part files.
+
+    A production Iceberg corpus is many data files, so its scan
+    parallelizes naturally; a single small file is ONE Spark input split no
+    matter how many cores — which makes any single-file benchmark corpus
+    measure a serial scan+explode term that would not exist at scale. The
+    scaling bench therefore writes multi-file corpora."""
+
+    def _table(chunk: list[dict]) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in chunk], pa.string()),
+                "spans": pa.array(
                     [
-                        (s["kind"], s["text"], s["media_ref"], s["offset"])
-                        for s in d["spans"]
-                    ]
-                    for d in docs
-                ],
-                SPAN_ARROW_TYPE,
-            ),
-        }
-    )
-    pq.write_table(table, path)
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in d["spans"]
+                        ]
+                        for d in chunk
+                    ],
+                    SPAN_ARROW_TYPE,
+                ),
+            }
+        )
+
+    if n_files <= 1:
+        pq.write_table(_table(docs), path)
+        return
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    per = (len(docs) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = docs[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        pq.write_table(
+            _table(chunk), os.path.join(path, f"part-{i:05d}.parquet")
+        )

@@ -79,6 +79,7 @@ def emit_page_rows(
     cfg: ExtractConfig,
     page_num: int,
     n_pages: int,
+    crop: dict | None = None,
 ) -> list[dict]:
     """Emit the ordered span rows of one decoded page (raster frame).
 
@@ -86,6 +87,23 @@ def emit_page_rows(
     ground-truth equivalent): upright-frame geometry + orientation_k.
     ``page_num`` is the 1-based index of this page among the document's
     media spans; ids get a "pg{page_num}_" prefix when ``n_pages > 1``.
+
+    ``crop`` enables region-crop recognition mode (the reference's xpath
+    selection of existing TextRegions, tesseract-recognize.cc:428-451):
+    ``{"crop_id": str, "x": int, "y": int, "seq": int}`` where (x, y) is the
+    crop's offset inside the page raster and ``seq`` its 0-based order among
+    the page's crops. Semantics mirrored from the reference:
+      * region ids become "{crop_id}_b{n}" (then the "pg{k}_" prefix —
+        tesseract-recognize.cc:663-670);
+      * no region row is emitted — recognition writes INTO the selected
+        existing region (xreg = node at cc:666; addTextRegion is gated on
+        node_level < LEVEL_REGION at cc:673);
+      * the crop offset is added back to every emitted coordinate, bbox and
+        baseline alike (setCoords/setLineCoords receive images[n].x/y —
+        cc:677,732,751,762);
+      * sub_order/line_sub are offset by seq·10^6 so multiple crops of one
+        page keep a total per-page order without widening any sort key
+        (bounds: <2048 crops/page, <10^6 rows/crop).
     """
     k = page["orientation_k"]
     pw, ph = page["page_w"], page["page_h"]
@@ -107,7 +125,7 @@ def emit_page_rows(
         return dict(x0=int(x0), y0=int(y0), x1=int(x1), y1=int(y1))
 
     rows: list[dict] = []
-    sub = 0
+    sub = crop["seq"] * 1_000_000 if crop else 0
     block_counter = 0
     for blk in page["blocks"]:
         if blk["block_type"] > 8:
@@ -119,8 +137,9 @@ def emit_page_rows(
             continue
         block_counter += 1
         rid = f"b{block_counter}"
-        if cfg.crop_id is not None:
-            rid = f"{cfg.crop_id}_{rid}"
+        crop_prefix = crop["crop_id"] if crop else cfg.crop_id
+        if crop_prefix is not None:
+            rid = f"{crop_prefix}_{rid}"
         if n_pages > 1:
             rid = f"pg{page_num}_{rid}"
         region_text = ""
@@ -129,21 +148,22 @@ def emit_page_rows(
                 "\n".join(" ".join(w["text"] for w in ln["words"]) for ln in para)
                 for para in blk["paras"]
             )
-        rows.append(
-            _row(
-                sub_order=sub,
-                level="region",
-                block_type=blk["block_type"],
-                region_id=rid,
-                # regions have no line: anchor to self so the combined
-                # (line_sub, sub_order) sort equals plain sub_order
-                line_sub=sub,
-                text=region_text,
-                conf=CONF_OK if cfg.text_at("region") else None,
-                **to_r(blk["bbox"]),
-                **page_cols,
+        if crop is None:  # crop mode writes INTO the existing region node
+            rows.append(
+                _row(
+                    sub_order=sub,
+                    level="region",
+                    block_type=blk["block_type"],
+                    region_id=rid,
+                    # regions have no line: anchor to self so the combined
+                    # (line_sub, sub_order) sort equals plain sub_order
+                    line_sub=sub,
+                    text=region_text,
+                    conf=CONF_OK if cfg.text_at("region") else None,
+                    **to_r(blk["bbox"]),
+                    **page_cols,
+                )
             )
-        )
         sub += 1
         if cfg.layout_rank < 1:
             continue
@@ -237,4 +257,20 @@ def emit_page_rows(
                             )
                         )
                         sub += 1
+    if crop is not None:
+        # offset add-back: every coordinate the crop decode reported is in
+        # the crop frame; translate into the page frame
+        # (tesseract-recognize.cc:677,732,751,762)
+        cx, cy = crop["x"], crop["y"]
+        for r in rows:
+            if r["x0"] is not None:
+                r["x0"] += cx
+                r["x1"] += cx
+                r["y0"] += cy
+                r["y1"] += cy
+            if r["b1x"] is not None:
+                r["b1x"] += float(cx)
+                r["b2x"] += float(cx)
+                r["b1y"] += float(cy)
+                r["b2y"] += float(cy)
     return rows

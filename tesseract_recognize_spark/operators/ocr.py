@@ -39,11 +39,12 @@ _OUT_COLS = [f.name for f in MEDIA_ROWS_SCHEMA.fields]
 def _expand_batch(
     pdf: pd.DataFrame, cfg: ExtractConfig, resolver
 ) -> pd.DataFrame:
+    crop_mode = "crop_id" in pdf.columns
     out: list[dict] = []
-    for doc_id, offset, media_ref, media_idx, n_media in zip(
+    for i, (doc_id, offset, media_ref, media_idx, n_media) in enumerate(zip(
         pdf["doc_id"], pdf["offset"], pdf["media_ref"],
         pdf["media_idx"], pdf["n_media"],
-    ):
+    )):
         base = dict(
             doc_id=doc_id,
             offset=int(offset),
@@ -51,8 +52,31 @@ def _expand_batch(
             error=None,
         )
         try:
-            page = decode_raster(resolver(media_ref))
-            rows = emit_page_rows(page, cfg, int(media_idx), int(n_media))
+            raster = resolver(media_ref)
+            crop = None
+            if crop_mode:
+                r = pdf.iloc[i]
+                cx0, cy0 = int(r["crop_x0"]), int(r["crop_y0"])
+                cx1, cy1 = int(r["crop_x1"]), int(r["crop_y1"])
+                full_h, full_w = raster.shape
+                # the reference's page.crop(): cut the sub-raster, remember
+                # its offset (tesseract-recognize.cc:438-441)
+                raster = raster[cy0 : cy1 + 1, cx0 : cx1 + 1]
+                crop = {
+                    "crop_id": r["crop_id"],
+                    "x": cx0,
+                    "y": cy0,
+                    "seq": int(r["crop_seq"]),
+                }
+            page = decode_raster(raster)
+            rows = emit_page_rows(
+                page, cfg, int(media_idx), int(n_media), crop=crop
+            )
+            if crop is not None:
+                for row in rows:
+                    # Page dims stay the PAGE's (coords are page-frame after
+                    # the offset add-back), not the crop's
+                    row["page_w"], row["page_h"] = full_w, full_h
         except DecodeError as exc:  # quarantine, don't fail the task
             out.append(
                 dict(
@@ -81,7 +105,10 @@ def _expand_batch(
             continue
         for r in rows:
             out.append(dict(base, **r))
-    return pd.DataFrame(out, columns=_OUT_COLS)
+    # dict-of-lists construction: pd.DataFrame(list-of-dicts) does per-cell
+    # type inference and is ~2x slower on this hot path
+    data = {c: [r.get(c) for r in out] for c in _OUT_COLS}
+    return pd.DataFrame(data, columns=_OUT_COLS)
 
 
 def ocr_expand(

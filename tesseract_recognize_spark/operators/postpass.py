@@ -182,9 +182,6 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     w_order = line_part.orderBy("sub_order")
     preceding = w_order.rowsBetween(Window.unboundedPreceding, -1)
     following = w_order.rowsBetween(1, Window.unboundedFollowing)
-    whole = line_part.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
 
     is_word = F.col("level") == "word"
     is_real = is_word & ~F.col("sentinel")
@@ -192,16 +189,30 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     real_struct = F.when(is_real, corner_struct)
     real_idx = F.when(is_real, F.col("word_idx"))
 
+    # Every expression shares the SAME (partition, order) spec, so Catalyst
+    # plans ONE WindowExec (different frames are evaluated in a single
+    # pass). The two whole-frame lookups of the earlier form are re-derived
+    # on the bounded frames — valid because within a line partition the
+    # line row precedes every word/glyph row and word_idx is monotone in
+    # sub_order:
+    #   * the parent line's corners = last line-struct over PRECEDING;
+    #   * the line's max word_idx = last word idx over FOLLOWING, or the
+    #     row's own word_idx when no word follows it.
     df = df.withColumns(
         {
             "_pre": F.last(real_struct, ignorenulls=True).over(preceding),
-            "_fol": F.first(real_struct, ignorenulls=True).over(following),
-            "_fol_idx": F.first(real_idx, ignorenulls=True).over(following),
-            "_max_idx": F.max(F.when(is_word, F.col("word_idx"))).over(whole),
-            "_line": F.first(
+            "_line": F.last(
                 F.when(F.col("level") == "line", corner_struct),
                 ignorenulls=True,
-            ).over(whole),
+            ).over(preceding),
+            "_fol": F.first(real_struct, ignorenulls=True).over(following),
+            "_fol_idx": F.first(real_idx, ignorenulls=True).over(following),
+            "_max_idx": F.coalesce(
+                F.last(
+                    F.when(is_word, F.col("word_idx")), ignorenulls=True
+                ).over(following),
+                F.col("word_idx"),
+            ),
         }
     )
 

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tesseract_recognize_spark.config import DEFAULT_CONFIG, ExtractConfig
-from tesseract_recognize_spark.operators.explode import explode_spans
+from tesseract_recognize_spark.operators.explode import (
+    explode_spans,
+    parse_pages_set,
+)
 from tesseract_recognize_spark.operators.normalize import (
     normalize_text_spans,
     trim_text,
@@ -37,7 +40,7 @@ from tesseract_recognize_spark.operators.postpass import (
 )
 from tesseract_recognize_spark.schemas import FINAL_COLUMNS
 
-__all__ = ["extract", "canonical_projection"]
+__all__ = ["extract", "extract_crops", "canonical_projection"]
 
 
 def extract(
@@ -45,14 +48,23 @@ def extract(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     ordered: bool = False,
     resolver=None,
+    pages: str | frozenset[int] | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) → final span rows (FINAL_COLUMNS).
 
     ``ordered=True`` adds a global orderBy(doc_id, order) — only for small
     result inspection; the sink path keeps documents clustered and sorted
     within partitions instead (no global exchange).
+
+    ``pages`` selects media spans by 0-based ordinal ("0-2,5" spec or a
+    set) — the reference's file.pdf[0-2,5] page-set selection. The filter
+    is applied to the spans array before the explode, so skipped pages
+    never reach the decode stage (skip-before-decode,
+    tesseract-recognize.cc:470-471,497-498) and surviving pages renumber.
     """
-    spans = explode_spans(docs_df)
+    if isinstance(pages, str):
+        pages = parse_pages_set(pages)
+    spans = explode_spans(docs_df, pages=pages)
 
     text_rows = normalize_text_spans(spans)
 
@@ -68,6 +80,10 @@ def extract(
     media_rows = ocr_expand(media_in, cfg, resolver=resolver)
     media_rows = t1_block_filter(media_rows)
     media_rows = t3_coords(media_rows)
+    # slim the shuffled row: the raster-frame ints and quarantine column are
+    # consumed by T1/T3 above — dropping them here keeps them out of the
+    # doc_id exchange and every window buffer downstream
+    media_rows = media_rows.drop("x0", "y0", "x1", "y1", "full_page", "error")
     media_rows = media_rows.withColumn("kind", F.lit("media")).withColumn(
         "text", trim_text(F.col("text"))  # T9 applies at every level
     )
@@ -105,6 +121,74 @@ def extract(
         "offset", "line_sub", "sub_order"
     )
     out = all_rows.withColumn(
+        "order", (F.row_number().over(order_w) - 1).cast("int")
+    ).select(*FINAL_COLUMNS)
+    if ordered:
+        out = out.orderBy("doc_id", "order")
+    return out
+
+
+def extract_crops(
+    docs_df: DataFrame,
+    crops_df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    ordered: bool = False,
+    resolver=None,
+) -> DataFrame:
+    """Region-crop recognition mode: recognize INSIDE selected sub-regions
+    of media pages (the reference's xpath-on-existing-TextRegions workflow,
+    tesseract-recognize.cc:428-451).
+
+    ``crops_df``: (doc_id, offset, crop_id, crop_x0, crop_y0, crop_x1,
+    crop_y1) — one row per selected region, coordinates in the page's
+    raster frame (the realistic source is a previous extraction's region
+    coords). Per reference semantics: each crop's raster is cut and decoded
+    independently, emitted region ids are "{crop_id}_b{n}" (no region rows
+    — recognition writes into the existing regions), and the crop offset is
+    added back to every coordinate (cc:438-441,663-666,677).
+
+    Requires ``cfg.psm == "auto"``: the reference refuses OSD when the
+    document already carries orientation state (cc:423-426); crops are cut
+    in the stored raster frame, so the P1/P2 derotation passes must not run.
+
+    Scale shape: the crops side joins the media spans on (doc_id, offset) —
+    an equi-join that AQE broadcasts when the selection is small; the
+    expensive decode runs AFTER the join, on crop work items only.
+    """
+    if cfg.psm != "auto":
+        raise ValueError(
+            "extract_crops requires psm='auto' (no OSD on pre-cropped "
+            "regions — reference tesseract-recognize.cc:423-426)"
+        )
+    spans = explode_spans(docs_df)
+    media_in = spans.filter(F.col("kind") == "media").select(
+        "doc_id", "offset", "media_ref", "media_idx", "n_media"
+    )
+    # deterministic within-page crop order (drives the seq component of
+    # sub_order, hence the final span order)
+    seq_w = Window.partitionBy("doc_id", "offset").orderBy("crop_id")
+    crops = crops_df.withColumn(
+        "crop_seq", (F.row_number().over(seq_w) - 1).cast("int")
+    )
+    media_in = media_in.join(crops, ["doc_id", "offset"])
+    if cfg.media_partitions:
+        media_in = media_in.repartition(
+            cfg.media_partitions, "doc_id", "offset", "crop_seq"
+        )
+    rows = ocr_expand(media_in, cfg, resolver=resolver)
+    rows = t1_block_filter(rows)
+    rows = t3_coords(rows)
+    rows = rows.drop("x0", "y0", "x1", "y1", "full_page", "error")
+    rows = rows.withColumn("kind", F.lit("media")).withColumn(
+        "text", trim_text(F.col("text"))
+    )
+    rows = rows.repartition("doc_id")
+    rows = p3_fill_word_coords(rows)
+    rows = build_coords_array(rows)
+    order_w = Window.partitionBy("doc_id").orderBy(
+        "offset", "line_sub", "sub_order"
+    )
+    out = rows.withColumn(
         "order", (F.row_number().over(order_w) - 1).cast("int")
     ).select(*FINAL_COLUMNS)
     if ordered:

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["load_table", "spans_from_sf_documents"]
+__all__ = [
+    "load_table",
+    "spans_from_sf_documents",
+    "region_crops_for_media",
+]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,3 +55,38 @@ def spans_from_sf_documents(docs: DataFrame) -> DataFrame:
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
         spans.alias("spans"),
     )
+
+
+def region_crops_for_media(
+    pairs: list[tuple[str, int, str]],
+) -> list[dict]:
+    """Crop specs for region-crop mode: the FIRST text block's bbox of each
+    upright page (rotated pages are skipped — extract_crops is psm='auto').
+
+    The realistic source of crops is a previous extraction's region coords;
+    here they are derived from the deterministic layout contract so the
+    driver gate and the golden-parquet oracle construct the IDENTICAL
+    selection. ``pairs``: (doc_id, offset, media_ref).
+    """
+    from tesseract_recognize_spark.fixtures.raster import (
+        layout_from_ref,
+        layout_geometry,
+    )
+
+    crops = []
+    for doc_id, offset, ref in pairs:
+        layout = layout_from_ref(ref)
+        if layout.orientation_k != 0:
+            continue
+        geo = layout_geometry(layout)
+        bg = next(b for b in geo["blocks"] if b["block"].is_text)
+        x0, y0, x1, y1 = bg["bbox"]
+        crops.append(
+            dict(
+                doc_id=doc_id,
+                offset=int(offset),
+                crop_id="r0",
+                x0=int(x0), y0=int(y0), x1=int(x1), y1=int(y1),
+            )
+        )
+    return crops
