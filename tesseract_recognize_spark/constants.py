@@ -23,7 +23,16 @@ GLYPH_VALUE_OFFSET = 19
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 UNK_INDEX = len(ALPHABET)          # marker glyph: word with unknown coords
-N_GLYPHS = UNK_INDEX + 1
+# RTL script glyphs (the mock analog of a right-to-left script): words made
+# of these render with mirrored word order; the decoder derives the line's
+# reading direction from script membership, exactly as Tesseract's writing
+# direction drives the reference's per-region readingDirection
+# (tesseract-recognize.cc:682-706). 8 glyphs keep the max interior value at
+# GLYPH_VALUE_OFFSET + 44 = 63 < 2**6, preserving the 180°-flip-safety
+# property below.
+RTL_ALPHABET = "ABCDEFGH"
+RTL_START = UNK_INDEX + 1
+N_GLYPHS = RTL_START + len(RTL_ALPHABET)
 
 # --- page layout (upright frame) ----------------------------------------
 MARGIN = 8           # blank border around page content

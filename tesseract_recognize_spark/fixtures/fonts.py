@@ -25,6 +25,8 @@ from tesseract_recognize_spark.constants import (
     GLYPH_W,
     INTERIOR_BITS,
     N_GLYPHS,
+    RTL_ALPHABET,
+    RTL_START,
     UNK_INDEX,
 )
 
@@ -56,8 +58,11 @@ def glyph_bitmap(index: int) -> np.ndarray:
 
 
 FONT: dict[int, np.ndarray] = {i: glyph_bitmap(i) for i in range(N_GLYPHS)}
-CHAR_TO_INDEX: dict[str, int] = {c: i for i, c in enumerate(ALPHABET)}
-INDEX_TO_CHAR: dict[int, str] = {i: c for i, c in enumerate(ALPHABET)}
+CHAR_TO_INDEX: dict[str, int] = {
+    **{c: i for i, c in enumerate(ALPHABET)},
+    **{c: RTL_START + i for i, c in enumerate(RTL_ALPHABET)},
+}
+INDEX_TO_CHAR: dict[int, str] = {i: c for c, i in CHAR_TO_INDEX.items()}
 
 
 def decode_cell(cell: np.ndarray) -> int | None:

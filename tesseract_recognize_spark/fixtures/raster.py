@@ -28,6 +28,7 @@ from tesseract_recognize_spark.constants import (
     MARGIN,
     NONTEXT_H_BASE,
     PARA_GAP,
+    RTL_ALPHABET,
     WORD_GAP,
 )
 from tesseract_recognize_spark.fixtures.fonts import (
@@ -91,6 +92,7 @@ class Block:
     block_type: int                 # 1 = flowing text; 9..14 = non-text
     paras: list[list[list[Word]]] = field(default_factory=list)
     nontext_width: int = 0          # solid-rect width for non-text blocks
+    rtl: bool = False               # RTL script block: word order mirrored
 
     @property
     def is_text(self) -> bool:
@@ -117,6 +119,11 @@ def layout_from_ref(media_ref: str) -> Layout:
             btype = 9 + h.u(6)
             blocks.append(Block(block_type=btype, nontext_width=40 + h.u(160)))
             continue
+        # ~10% of text blocks use the RTL script (words drawn from
+        # RTL_ALPHABET, word order mirrored on the line) — exercises the
+        # per-region readingDirection derivation (T4)
+        rtl = h.u(10) == 0
+        script = RTL_ALPHABET if rtl else ALPHABET
         paras: list[list[list[Word]]] = []
         for _ in range(1 + h.u(3)):
             lines: list[list[Word]] = []
@@ -124,11 +131,11 @@ def layout_from_ref(media_ref: str) -> Layout:
                 words: list[Word] = []
                 for _ in range(1 + h.u(8)):
                     wlen = 1 + h.u(7)
-                    text = "".join(ALPHABET[h.u(len(ALPHABET))] for _ in range(wlen))
+                    text = "".join(script[h.u(len(script))] for _ in range(wlen))
                     words.append(Word(text=text, unk=h.u(100) < 8))
                 lines.append(words)
             paras.append(lines)
-        blocks.append(Block(block_type=1, paras=paras))
+        blocks.append(Block(block_type=1, paras=paras, rtl=rtl))
     return Layout(orientation_k=orientation_k, blocks=blocks)
 
 
@@ -174,7 +181,15 @@ def layout_geometry(layout: Layout) -> dict:
                         }
                     )
                     x += w + WORD_GAP
-                lx1 = words_geo[-1]["bbox"][2]
+                content_w = x - WORD_GAP - MARGIN
+                if block.rtl:
+                    # mirror word POSITIONS within the line: reading-order
+                    # word 0 sits rightmost (words_geo stays reading order)
+                    for wg in words_geo:
+                        x0, y0_, x1, y1_ = wg["bbox"]
+                        nx0 = MARGIN + content_w - (x1 - MARGIN) - 1
+                        wg["bbox"] = (nx0, y0_, nx0 + (x1 - x0), y1_)
+                lx1 = max(wg["bbox"][2] for wg in words_geo)
                 lines_geo.append(
                     {
                         "words": words_geo,

@@ -115,7 +115,6 @@ def emit_page_rows(
         page_h=rh,
         orientation_k=k,
         osd_angle=osd_angle,
-        reading_direction="left-to-right",
         textline_order="top-to-bottom",
         deskew=0.0,
     )
@@ -136,6 +135,12 @@ def emit_page_rows(
             )
             continue
         block_counter += 1
+        # T4: per-region readingDirection derived from the block's script
+        # direction (reference: Tesseract writing_direction →
+        # region readingDirection attr, tesseract-recognize.cc:682-706)
+        page_cols["reading_direction"] = (
+            "right-to-left" if blk.get("rtl") else "left-to-right"
+        )
         rid = f"b{block_counter}"
         crop_prefix = crop["crop_id"] if crop else cfg.crop_id
         if crop_prefix is not None:

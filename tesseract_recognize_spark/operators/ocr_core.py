@@ -24,6 +24,7 @@ from tesseract_recognize_spark.constants import (
     GLYPH_W,
     LINE_GAP,
     PARA_GAP,
+    RTL_START,
     UNK_INDEX,
 )
 from tesseract_recognize_spark.fixtures.fonts import INDEX_TO_CHAR, decode_cells
@@ -88,9 +89,17 @@ def _decode_line(img: np.ndarray, y0: int, y1: int) -> dict | None:
                 "glyph_bboxes": [(cx0, y0, cx1, y1) for cx0, cx1 in text_cells],
             }
         )
+    # script detection → reading direction (the mock analog of Tesseract's
+    # writing_direction feeding the reference's per-region readingDirection,
+    # tesseract-recognize.cc:682-706): RTL-script glyphs mean the words were
+    # laid out right-to-left, so READING order reverses the positional order
+    rtl = bool((all_idx >= RTL_START).any())
+    if rtl:
+        words.reverse()
     return {
         "bbox": (col_runs[0][0], y0, col_runs[-1][1], y1),
         "words": words,
+        "rtl": rtl,
     }
 
 
@@ -162,6 +171,8 @@ def _try_decode(img: np.ndarray) -> dict | None:
                 max(ln["bbox"][2] for ln in lines),
                 lines[-1]["bbox"][3],
             )
+            # region reading direction = its lines' script direction
+            blk["rtl"] = any(ln["rtl"] for ln in lines)
     # require at least one decoded glyph for orientation unambiguity
     if not any(b["paras"] for b in blocks):
         return None

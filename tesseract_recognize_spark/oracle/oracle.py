@@ -83,9 +83,18 @@ def page_struct_from_layout(layout: Layout) -> dict:
                             "glyph_bboxes": cells,
                         }
                     )
-                lines.append({"bbox": lg["bbox"], "words": words})
+                lines.append(
+                    {"bbox": lg["bbox"], "words": words, "rtl": blk.rtl}
+                )
             paras.append(lines)
-        blocks.append({"block_type": 1, "bbox": bg["bbox"], "paras": paras})
+        blocks.append(
+            {
+                "block_type": 1,
+                "bbox": bg["bbox"],
+                "paras": paras,
+                "rtl": bg["block"].rtl,
+            }
+        )
     return {
         "orientation_k": layout.orientation_k,
         "page_w": geo["page_w"],

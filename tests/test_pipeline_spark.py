@@ -41,7 +41,7 @@ def _compare(rows, docs, cfg, layout_provider=None):
         ), f"invariant mismatch at {r['doc_id']}#{r['order']}"
         for k in ("level", "region_id", "line_id", "word_idx", "glyph_idx",
                   "block_type", "page_w", "page_h", "osd_angle",
-                  "coords_filled"):
+                  "coords_filled", "reading_direction"):
             assert r[k] == e[k], (r["doc_id"], r["order"], k, r[k], e[k])
         rc, ec = r["coords"], e["coords"]
         assert (rc is None) == (ec is None)
