@@ -23,6 +23,8 @@ from tesseract_recognize_spark.session import build_session  # noqa: E402
 
 BENCH_QUERIES = [
     "extract_full",
+    "extract_region_crops",
+    "page_set_select",
     "trim_normalize",
     "span_explode_order",
     "word_fill_window",
@@ -30,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "langid",

@@ -29,18 +29,16 @@ def _words(col: Column) -> Column:
     return F.split(F.lower(col), r"\s+")
 
 
-def _in_set(values: tuple[str, ...]):
-    """Single-arg lambda testing set membership — usable inside
-    higher-order functions (Column.isin is not, and extra lambda params
-    would be mis-read as the element-index argument)."""
-
-    def test(w: Column) -> Column:
-        out = w == F.lit(values[0])
-        for v in values[1:]:
-            out = out | (w == F.lit(v))
-        return out
-
-    return test
+def _count_in(text_col: str, values: tuple[str, ...]) -> Column:
+    """Occurrences of set members among the whitespace tokens of
+    ``text_col``, as a SQL-lambda expression: `w IN (...)` optimizes to a
+    hash-set InSet above 10 items, where a Python-lambda ==-OR fold stays a
+    linear comparison chain (Column.isin is unusable inside HOF lambdas).
+    Empty tokens can't be members, so no non-empty pre-filter is needed."""
+    lst = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return F.expr(
+        rf"size(filter(split(lower({text_col}), '\\s+'), w -> w IN ({lst})))"
+    )
 
 
 def langid_stopwords(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -48,10 +46,8 @@ def langid_stopwords(docs: DataFrame, text_col: str = "text") -> DataFrame:
     with fixed language order as the tie-break (a deliberately simple,
     fully deterministic heuristic — the point is the distributed shape:
     per-row array intersection, no shuffle at all)."""
-    words = _words(F.col(text_col))
     votes = {
-        lang: F.size(F.filter(words, _in_set(sw)))
-        for lang, sw in STOPWORDS.items()
+        lang: _count_in(text_col, sw) for lang, sw in STOPWORDS.items()
     }
     langs = list(STOPWORDS)
     best = F.lit(langs[0])
@@ -82,7 +78,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = F.filter(_words(t), lambda w: F.length(w) > 0)
     n_words = F.size(words).cast("double")
     all_sw = tuple(w for sw in STOPWORDS.values() for w in sw)
-    n_stop = F.size(F.filter(words, _in_set(all_sw))).cast("double")
+    n_stop = _count_in(text_col, all_sw).cast("double")
     safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
     safe_w = F.when(n_words > 0, n_words).otherwise(F.lit(1.0))
     alpha_ratio = n_alpha / safe_n
