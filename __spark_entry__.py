@@ -38,6 +38,7 @@ from tesseract_recognize_spark.operators.textstats import (
     token_counts,
 )
 from tesseract_recognize_spark.operators.explode import explode_spans
+from tesseract_recognize_spark.operators.multimodal import frame_sample
 from tesseract_recognize_spark.plans.pipeline import extract, extract_crops
 from tesseract_recognize_spark.sources.testdata import (
     load_table,
@@ -286,6 +287,24 @@ def q_page_set_select(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    # multimodal plumbing: video-style frame sampling as native plan surgery
+    # (sequence + explode); each sampled frame would then flow through the
+    # Arrow codec stage (operators/multimodal.py:decode_image_features,
+    # pytest-gated — the codec itself is Python, not SQL)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50 + 1).cast("int").alias("n_frames"),
+    )
+    out = frame_sample(media, every_n=7)
+    return out.select(
+        "doc_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # approximate ANN (bucketed) — not SQL-expressible cheaply (rows-only)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -315,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_full": q_extract_full,
         "extract_region_crops": q_extract_region_crops,
         "page_set_select": q_page_set_select,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -659,6 +679,12 @@ FROM documents
 UNION ALL
 SELECT doc_id, 2::BIGINT AS media_idx, 2::BIGINT AS n_media,
        concat('media://', doc_id, '/2') AS media_ref
+FROM documents
+""",
+        "multimodal_frame_sample": """
+SELECT doc_id,
+       (doc_id % 50 + 1)::BIGINT AS n_frames,
+       unnest(range(0, (doc_id % 50 + 1)::INT, 7))::BIGINT AS frame_idx
 FROM documents
 """,
     }

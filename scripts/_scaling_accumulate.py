@@ -1,0 +1,88 @@
+"""Loadavg-gated scaling-run accumulator.
+
+The sandbox host shows bursty phantom load (identical runs vary 2-4x), so
+single-session minima are unreliable. This loop launches alternating
+local[N]/local[4N] measurement children ONLY when 1-min loadavg is below a
+threshold, and appends each child's runs to a JSONL ledger. The scaling
+efficiency is then computed from the per-level minima across the ledger —
+the standard min-estimator for noisy shared hosts.
+
+    python scripts/_scaling_accumulate.py --docs 40000 --minutes 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+from scaling_bench import ensure_corpus  # noqa: E402
+
+LEDGER = "/tmp/spark_graft_scaling/ledger.jsonl"
+
+
+def loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=6)
+    ap.add_argument("--minutes", type=float, default=40)
+    ap.add_argument("--max-load", type=float, default=2.0)
+    args = ap.parse_args()
+    path = ensure_corpus(args.docs)
+    deadline = time.time() + args.minutes * 60
+    legs = [args.xn, args.n]
+    i = 0
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    while time.time() < deadline:
+        load = loadavg1()
+        if load > args.max_load:
+            print(f"load {load:.1f} > {args.max_load}, waiting", flush=True)
+            time.sleep(30)
+            continue
+        cores = legs[i % 2]
+        i += 1
+        print(f"launching local[{cores}] (load {load:.1f})", flush=True)
+        out = subprocess.run(
+            [sys.executable, "scripts/_scaling_child.py", str(cores), path,
+             str(args.runs)],
+            capture_output=True, text=True, env=env,
+        )
+        if out.returncode != 0:
+            print("child failed:", out.stderr[-500:], flush=True)
+            continue
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        rec["loadavg_at_launch"] = load
+        rec["ts"] = time.time()
+        with open(LEDGER, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print("recorded:", {k: rec[k] for k in ("cores", "wall_sec",
+                                                "median_sec")}, flush=True)
+    # summary
+    best: dict[int, float] = {}
+    with open(LEDGER) as f:
+        for ln in f:
+            r = json.loads(ln)
+            if r["docs"] != args.docs:
+                continue
+            best[r["cores"]] = min(
+                best.get(r["cores"], 1e9), min(r["all_runs_sec"])
+            )
+    print(json.dumps({"minima": best}))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,11 +61,12 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=8)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
     path = ensure_corpus(args.docs)
-    r_n = run_child(args.n, path)
-    r_xn = run_child(args.xn, path)
+    r_n = run_child(args.n, path, args.runs)
+    r_xn = run_child(args.xn, path, args.runs)
     tp_n = r_n["docs"] / r_n["wall_sec"]
     tp_xn = r_xn["docs"] / r_xn["wall_sec"]
     factor = args.xn / args.n

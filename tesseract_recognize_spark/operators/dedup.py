@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "hash64_expr",
     "exact_dedup",
-    "char_shingles",
+    "shingle_hashes",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signature",
@@ -58,20 +58,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("dup_count"),
         )
     )
-
-
-def char_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct character k-grams (empty array when text shorter than k)."""
-    n = F.length(col)
-    return F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: col.substr(i, F.lit(k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_hashes(

@@ -37,7 +37,7 @@ _OUT_COLS = [f.name for f in MEDIA_ROWS_SCHEMA.fields]
 
 
 def _expand_batch(
-    pdf: pd.DataFrame, cfg: ExtractConfig, resolver
+    pdf: pd.DataFrame, cfg: ExtractConfig, resolver, save_crops_dir=None
 ) -> pd.DataFrame:
     crop_mode = "crop_id" in pdf.columns
     out: list[dict] = []
@@ -68,6 +68,23 @@ def _expand_batch(
                     "y": cy0,
                     "seq": int(r["crop_seq"]),
                 }
+                if save_crops_dir:
+                    # K3 debug sink (reference --save-crops,
+                    # tesseract-recognize.cc:551-555): executor-local .npy
+                    # dumps of the cut rasters — dev-only, like the original
+                    import os
+
+                    import numpy as np
+
+                    os.makedirs(save_crops_dir, exist_ok=True)
+                    safe = str(doc_id).replace("/", "_")
+                    np.save(
+                        os.path.join(
+                            save_crops_dir,
+                            f"crop_{safe}_{int(offset)}_{r['crop_id']}.npy",
+                        ),
+                        raster,
+                    )
             page = decode_raster(raster)
             rows = emit_page_rows(
                 page, cfg, int(media_idx), int(n_media), crop=crop
@@ -112,7 +129,10 @@ def _expand_batch(
 
 
 def ocr_expand(
-    media_spans: DataFrame, cfg: ExtractConfig, resolver=None
+    media_spans: DataFrame,
+    cfg: ExtractConfig,
+    resolver=None,
+    save_crops_dir: str | None = None,
 ) -> DataFrame:
     """media span rows (doc_id, offset, media_ref, media_idx, n_media) →
     structured rows per MEDIA_ROWS_SCHEMA (raster-frame geometry).
@@ -127,6 +147,6 @@ def ocr_expand(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _expand_batch(pdf, cfg, resolver)
+                yield _expand_batch(pdf, cfg, resolver, save_crops_dir)
 
     return media_spans.mapInPandas(fn, schema=MEDIA_ROWS_SCHEMA)

@@ -49,6 +49,7 @@ def extract(
     ordered: bool = False,
     resolver=None,
     pages: str | frozenset[int] | None = None,
+    media_overrides: DataFrame | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) → final span rows (FINAL_COLUMNS).
 
@@ -61,6 +62,14 @@ def extract(
     is applied to the spans array before the explode, so skipped pages
     never reach the decode stage (skip-before-decode,
     tesseract-recognize.cc:470-471,497-498) and surviving pages renumber.
+
+    ``media_overrides`` (doc_id, offset, new_media_ref) re-points selected
+    media spans to a different raster before decode — the reference's
+    ``--image`` override (tesseract-recognize.cc:414-420; its companion
+    guard against OSD on documents that already carry orientation state,
+    cc:423-426, is structural here: the input schema carries no orientation
+    state, so double-rotation cannot occur). The join broadcasts when the
+    override set is small.
     """
     if isinstance(pages, str):
         pages = parse_pages_set(pages)
@@ -71,6 +80,14 @@ def extract(
     media_in = spans.filter(F.col("kind") == "media").select(
         "doc_id", "offset", "media_ref", "media_idx", "n_media"
     )
+    if media_overrides is not None:
+        media_in = media_in.join(
+            media_overrides, ["doc_id", "offset"], "left"
+        ).select(
+            "doc_id", "offset",
+            F.coalesce("new_media_ref", "media_ref").alias("media_ref"),
+            "media_idx", "n_media",
+        )
     if cfg.media_partitions:
         # salting: (doc_id, offset) hash spreads one media-heavy document
         # across many tasks before the expensive stage
@@ -134,6 +151,7 @@ def extract_crops(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     ordered: bool = False,
     resolver=None,
+    save_crops_dir: str | None = None,
 ) -> DataFrame:
     """Region-crop recognition mode: recognize INSIDE selected sub-regions
     of media pages (the reference's xpath-on-existing-TextRegions workflow,
@@ -175,7 +193,9 @@ def extract_crops(
         media_in = media_in.repartition(
             cfg.media_partitions, "doc_id", "offset", "crop_seq"
         )
-    rows = ocr_expand(media_in, cfg, resolver=resolver)
+    rows = ocr_expand(
+        media_in, cfg, resolver=resolver, save_crops_dir=save_crops_dir
+    )
     rows = t1_block_filter(rows)
     rows = t3_coords(rows)
     rows = rows.drop("x0", "y0", "x1", "y1", "full_page", "error")

@@ -219,6 +219,83 @@ def test_page_set_selection_exact_match(spark, tmp_path):
         assert r["region_id"] == e["region_id"]  # pages RENUMBER (pg1, pg2)
 
 
+def test_media_override(spark, tmp_path):
+    """--image analog (tesseract-recognize.cc:414-420): an override
+    re-points a media span to a different raster before decode; the output
+    carries the NEW ref and the new raster's content."""
+    docs = gen_documents(12, seed=31)
+    d = next(x for x in docs if any(s["kind"] == "media" for s in x["spans"]))
+    media = [s for s in sorted(d["spans"], key=lambda s: s["offset"])
+             if s["kind"] == "media"]
+    target = media[0]
+    new_ref = "media://override-target/0#cafe0123"
+    p = str(tmp_path / "ov.parquet")
+    write_documents_parquet([d], p)
+    ov = spark.createDataFrame(
+        [(d["doc_id"], target["offset"], new_ref)],
+        "doc_id string, offset int, new_media_ref string",
+    )
+    cfg = ExtractConfig(media_partitions=1)
+    rows = extract(
+        spark.read.parquet(p), cfg, media_overrides=ov
+    ).collect()
+    new_spans = [
+        dict(s, media_ref=new_ref)
+        if s["kind"] == "media" and s["offset"] == target["offset"]
+        else s
+        for s in d["spans"]
+    ]
+    exp = {
+        (r["doc_id"], r["order"]): r
+        for r in expected_spans(d["doc_id"], new_spans, cfg)
+    }
+    assert len(rows) == len(exp)
+    for r in rows:
+        e = exp[(r["doc_id"], r["order"])]
+        assert (r["kind"], r["text"], r["media_ref"]) == (
+            e["kind"], e["text"], e["media_ref"],
+        )
+    assert any(r["media_ref"] == new_ref for r in rows)
+
+
+def test_save_crops_debug_sink(spark, tmp_path):
+    """K3 (--save-crops, tesseract-recognize.cc:551-555): dev-only dumps of
+    the cut sub-rasters, one file per crop work item."""
+    import glob
+
+    import numpy as np
+
+    from tesseract_recognize_spark.fixtures.raster import render_raster
+
+    docs = gen_documents(30, seed=9)
+    crop_docs, crops = _crops_for_docs(docs)
+    one = crops[0]
+    d = next(x for x in crop_docs if x["doc_id"] == one["doc_id"])
+    p = str(tmp_path / "sc.parquet")
+    write_documents_parquet([d], p)
+    out_dir = str(tmp_path / "crops_out")
+    crops_df = spark.createDataFrame(
+        [(one["doc_id"], one["offset"], one["crop_id"],
+          one["x0"], one["y0"], one["x1"], one["y1"])],
+        "doc_id string, offset int, crop_id string, "
+        "crop_x0 int, crop_y0 int, crop_x1 int, crop_y1 int",
+    )
+    cfg = ExtractConfig(psm="auto", media_partitions=1)
+    extract_crops(
+        spark.read.parquet(p), crops_df, cfg, save_crops_dir=out_dir
+    ).collect()
+    files = glob.glob(f"{out_dir}/crop_*.npy")
+    assert len(files) == 1
+    saved = np.load(files[0])
+    ref = next(
+        s["media_ref"] for s in d["spans"]
+        if s["kind"] == "media" and s["offset"] == one["offset"]
+    )
+    full = render_raster(ref)
+    expected = full[one["y0"]: one["y1"] + 1, one["x0"]: one["x1"] + 1]
+    assert (saved == expected).all()
+
+
 def test_page_set_skips_before_decode(spark, tmp_path):
     """Non-selected pages must never reach the decode stage: resolving them
     raises RuntimeError (NOT the quarantined DecodeError), which would fail
