@@ -40,7 +40,9 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=6)
     ap.add_argument("--minutes", type=float, default=40)
     ap.add_argument("--max-load", type=float, default=2.0)
+    ap.add_argument("--ledger", default=LEDGER)
     args = ap.parse_args()
+    ledger = args.ledger
     path = ensure_corpus(args.docs)
     deadline = time.time() + args.minutes * 60
     legs = [args.xn, args.n]
@@ -67,13 +69,13 @@ def main() -> None:
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         rec["loadavg_at_launch"] = load
         rec["ts"] = time.time()
-        with open(LEDGER, "a") as f:
+        with open(ledger, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print("recorded:", {k: rec[k] for k in ("cores", "wall_sec",
                                                 "median_sec")}, flush=True)
     # summary
     best: dict[int, float] = {}
-    with open(LEDGER) as f:
+    with open(ledger) as f:
         for ln in f:
             r = json.loads(ln)
             if r["docs"] != args.docs:
