@@ -42,7 +42,7 @@ from tesseract_recognize_spark.operators.multimodal import frame_sample
 from tesseract_recognize_spark.plans.pipeline import extract, extract_crops
 from tesseract_recognize_spark.sources.testdata import (
     load_table,
-    region_crops_for_media,
+    region_crops_df,
     spans_from_sf_documents,
 )
 
@@ -228,9 +228,9 @@ def q_extract_region_crops(spark, sf_dir):
     # S4/S5: region-crop recognition — crop each upright page to its first
     # text block's bbox, recognize the crop, offset-add-back + crop-id
     # prefix (reference tesseract-recognize.cc:428-451,663-666,677).
-    # Crop selection derives from the deterministic layout contract; the
-    # collect is over the (small) media-span side to build the crops input,
-    # not over results.
+    # Crop selection derives from the deterministic layout contract,
+    # computed EXECUTOR-side (mapInPandas over the media spans) — no
+    # driver-side materialization anywhere in the workflow.
     docs = spans_from_sf_documents(load_table(spark, sf_dir, "documents"))
     media = (
         docs.select("doc_id", F.explode("spans").alias("s"))
@@ -238,16 +238,7 @@ def q_extract_region_crops(spark, sf_dir):
         .select("doc_id", F.col("s.offset").alias("offset"),
                 F.col("s.media_ref").alias("media_ref"))
     )
-    pairs = [
-        (r["doc_id"], r["offset"], r["media_ref"]) for r in media.collect()
-    ]
-    crops = region_crops_for_media(pairs)
-    crops_df = spark.createDataFrame(
-        [(c["doc_id"], c["offset"], c["crop_id"],
-          c["x0"], c["y0"], c["x1"], c["y1"]) for c in crops],
-        "doc_id string, offset int, crop_id string, "
-        "crop_x0 int, crop_y0 int, crop_x1 int, crop_y1 int",
-    )
+    crops_df = region_crops_df(media)
     cfg = ExtractConfig(psm="auto", media_partitions=32)
     out = extract_crops(docs, crops_df, cfg)
     return out.select(

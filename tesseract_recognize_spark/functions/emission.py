@@ -117,6 +117,9 @@ def emit_page_rows(
         osd_angle=osd_angle,
         textline_order="top-to-bottom",
         deskew=0.0,
+        # default: non-text rows (dropped by T1, but also surfaceable as
+        # quarantine) carry LTR instead of None / a neighboring block's value
+        reading_direction="left-to-right",
     )
 
     def to_r(bbox):
@@ -137,9 +140,13 @@ def emit_page_rows(
         block_counter += 1
         # T4: per-region readingDirection derived from the block's script
         # direction (reference: Tesseract writing_direction →
-        # region readingDirection attr, tesseract-recognize.cc:682-706)
-        page_cols["reading_direction"] = (
-            "right-to-left" if blk.get("rtl") else "left-to-right"
+        # region readingDirection attr, tesseract-recognize.cc:682-706) —
+        # a per-block COPY, never a mutation of the shared page dict
+        blk_cols = dict(
+            page_cols,
+            reading_direction=(
+                "right-to-left" if blk.get("rtl") else "left-to-right"
+            ),
         )
         rid = f"b{block_counter}"
         crop_prefix = crop["crop_id"] if crop else cfg.crop_id
@@ -166,7 +173,7 @@ def emit_page_rows(
                     text=region_text,
                     conf=CONF_OK if cfg.text_at("region") else None,
                     **to_r(blk["bbox"]),
-                    **page_cols,
+                    **blk_cols,
                 )
             )
         sub += 1
@@ -195,7 +202,7 @@ def emit_page_rows(
                     ),
                     conf=CONF_OK if cfg.text_at("line") else None,
                     **to_r(line["bbox"]),
-                    **page_cols,
+                    **blk_cols,
                 )
                 # baseline: reading-direction bottom edge in raster frame,
                 # clipped to the bbox sides (setLineCoords)
@@ -234,7 +241,7 @@ def emit_page_rows(
                             ),
                             full_page=word["unk"],
                             **to_r(word["bbox"]),
-                            **page_cols,
+                            **blk_cols,
                         )
                     )
                     sub += 1
@@ -258,7 +265,7 @@ def emit_page_rows(
                                 ),
                                 conf=CONF_OK if cfg.text_at("glyph") else None,
                                 **to_r(gbox),
-                                **page_cols,
+                                **blk_cols,
                             )
                         )
                         sub += 1

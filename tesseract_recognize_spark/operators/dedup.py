@@ -226,7 +226,9 @@ def ngram_jaccard_pairs(
          for a true 0.8-Jaccard pair is P[Binom(16,.8) < 8] ≈ 1e-3 — the
          standard verify-prefilter trade, mirrored exactly by the oracle;
       3. exact Jaccard on DISTINCT SHINGLE HASH SETS (int64 arrays — far
-         cheaper to shuffle and intersect than shingle strings):
+         cheaper to shuffle and intersect than shingle strings), built ONLY
+         for doc_ids surviving the prefilter (broadcast semi-join): the
+         verify shuffle is proportional to candidates, not corpus.
          |∩| / (|a| + |b| - |∩|), exact int/double arithmetic.
     """
     sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
@@ -251,7 +253,19 @@ def ngram_jaccard_pairs(
         .where(agree >= est_min_agree)
         .select("doc_a", "doc_b")
     )
-    sets = shingle_hashes(docs, text_col, shingle_k).groupBy("doc_id").agg(
+    # Build shingle sets ONLY for documents that appear in a candidate pair:
+    # semi-join docs to the (tiny) candidate doc_id set first. Without this,
+    # verification aggregates collect_set(h) over EVERY document's shingles —
+    # a full-corpus shuffle to verify a handful of pairs. Catalyst reuses the
+    # signature-aggregate exchange between the candidate branch and this one
+    # (ReusedExchange), so the LSH pipeline is not recomputed.
+    cand_ids = (
+        prefiltered.select(F.col("doc_a").alias("doc_id"))
+        .union(prefiltered.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sets = shingle_hashes(docs_c, text_col, shingle_k).groupBy("doc_id").agg(
         F.collect_set("h").alias("sh")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

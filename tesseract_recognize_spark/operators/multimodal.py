@@ -130,12 +130,17 @@ def frame_sample(
 ) -> DataFrame:
     """Video-style frame sampling as pure plan surgery: one row per sampled
     frame index (native sequence + explode — the decode of each sampled
-    frame would then go through decode_image_features)."""
+    frame would then go through decode_image_features). Media with
+    ``n_frames <= 0`` degrade to zero rows (explode of NULL) instead of a
+    runtime 'illegal sequence boundaries' error."""
     return media_df.withColumn(
         "frame_idx",
         F.explode(
-            F.sequence(
-                F.lit(0), F.col(frames_col) - 1, F.lit(every_n)
+            F.when(
+                F.col(frames_col) > 0,
+                F.sequence(
+                    F.lit(0), F.col(frames_col) - 1, F.lit(every_n)
+                ),
             )
         ),
     )

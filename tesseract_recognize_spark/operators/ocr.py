@@ -1,11 +1,18 @@
 """Mock-OCR expansion stage: media span rows → structured span rows.
 
 The single custom "UDTF" of the engine (SURVEY.md §2.3): an Arrow-batched
-``mapInPandas`` that resolves each media_ref to a raster, decodes it by
+``mapInArrow`` that resolves each media_ref to a raster, decodes it by
 image processing (operators/ocr_core.py) and emits the reference's
 iterator-walk rows (functions/emission.py). This is the analog of the
 reference's per-request subprocess (tesseract_recognize_api.py:188-198) —
 but crossed once per Arrow batch instead of once per document.
+
+mapInArrow (not mapInPandas): output RecordBatches are assembled straight
+from Python column lists via ``pa.array`` — no pandas DataFrame is ever
+materialized on either side of the boundary. The round-2 profile put the
+pandas↔arrow conversion at ~1.5 of 5.3 ms/page; cutting it both lowers
+absolute cost AND memory-bandwidth pressure, the term that inflated
+per-core CPU at 32 resident workers (BENCH/BASELINE.md analysis).
 
 No shuffle happens here: each media span is an independent work item, so
 the stage is embarrassingly parallel; skew is handled upstream by
@@ -21,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
@@ -34,39 +41,44 @@ from tesseract_recognize_spark.sources.media import resolve_media
 __all__ = ["ocr_expand"]
 
 _OUT_COLS = [f.name for f in MEDIA_ROWS_SCHEMA.fields]
+# columns produced by emit_page_rows; the 4 carried-through base columns
+# (doc_id / offset / media_ref / error) are filled by repetition instead of
+# per-row dict merges
+_BASE_COLS = ("doc_id", "offset", "media_ref", "error")
+_EMIT_COLS = [c for c in _OUT_COLS if c not in _BASE_COLS]
 
 
-def _expand_batch(
-    pdf: pd.DataFrame, cfg: ExtractConfig, resolver, save_crops_dir=None
-) -> pd.DataFrame:
-    crop_mode = "crop_id" in pdf.columns
+def _expand_columns(
+    cols: dict[str, list], cfg: ExtractConfig, resolver, save_crops_dir=None
+) -> dict[str, list]:
+    """Column lists in → column lists out (one output element per emitted
+    span row). Pure Python — shared by the Arrow stage and unit tests."""
+    crop_mode = "crop_id" in cols
     out: list[dict] = []
-    for i, (doc_id, offset, media_ref, media_idx, n_media) in enumerate(zip(
-        pdf["doc_id"], pdf["offset"], pdf["media_ref"],
-        pdf["media_idx"], pdf["n_media"],
-    )):
-        base = dict(
-            doc_id=doc_id,
-            offset=int(offset),
-            media_ref=media_ref,
-            error=None,
-        )
+    doc_col: list = []
+    off_col: list = []
+    ref_col: list = []
+    err_col: list = []
+    for i in range(len(cols["doc_id"])):
+        doc_id = cols["doc_id"][i]
+        offset = int(cols["offset"][i])
+        media_ref = cols["media_ref"][i]
+        err = None
         try:
             raster = resolver(media_ref)
             crop = None
             if crop_mode:
-                r = pdf.iloc[i]
-                cx0, cy0 = int(r["crop_x0"]), int(r["crop_y0"])
-                cx1, cy1 = int(r["crop_x1"]), int(r["crop_y1"])
+                cx0, cy0 = int(cols["crop_x0"][i]), int(cols["crop_y0"][i])
+                cx1, cy1 = int(cols["crop_x1"][i]), int(cols["crop_y1"][i])
                 full_h, full_w = raster.shape
                 # the reference's page.crop(): cut the sub-raster, remember
                 # its offset (tesseract-recognize.cc:438-441)
                 raster = raster[cy0 : cy1 + 1, cx0 : cx1 + 1]
                 crop = {
-                    "crop_id": r["crop_id"],
+                    "crop_id": cols["crop_id"][i],
                     "x": cx0,
                     "y": cy0,
-                    "seq": int(r["crop_seq"]),
+                    "seq": int(cols["crop_seq"][i]),
                 }
                 if save_crops_dir:
                     # K3 debug sink (reference --save-crops,
@@ -81,13 +93,14 @@ def _expand_batch(
                     np.save(
                         os.path.join(
                             save_crops_dir,
-                            f"crop_{safe}_{int(offset)}_{r['crop_id']}.npy",
+                            f"crop_{safe}_{offset}_{crop['crop_id']}.npy",
                         ),
                         raster,
                     )
             page = decode_raster(raster)
             rows = emit_page_rows(
-                page, cfg, int(media_idx), int(n_media), crop=crop
+                page, cfg, int(cols["media_idx"][i]),
+                int(cols["n_media"][i]), crop=crop,
             )
             if crop is not None:
                 for row in rows:
@@ -95,37 +108,24 @@ def _expand_batch(
                     # the offset add-back), not the crop's
                     row["page_w"], row["page_h"] = full_w, full_h
         except DecodeError as exc:  # quarantine, don't fail the task
-            out.append(
+            err = str(exc)
+            rows = [
                 dict(
-                    base,
-                    sub_order=-1,
-                    level="error",
-                    block_type=None,
-                    region_id=None,
-                    line_id=None,
-                    word_idx=None,
-                    glyph_idx=None,
-                    text="",
-                    conf=None,
-                    x0=None, y0=None, x1=None, y1=None,
-                    full_page=False,
-                    b1x=None, b1y=None, b2x=None, b2y=None,
-                    baseline_clipped=None,
-                    poly_height=None, poly_offset=None,
-                    page_w=None, page_h=None,
-                    orientation_k=None, osd_angle=None,
-                    reading_direction=None, textline_order=None,
-                    deskew=None,
-                    error=str(exc),
+                    sub_order=-1, level="error", text="", full_page=False
                 )
-            )
-            continue
-        for r in rows:
-            out.append(dict(base, **r))
-    # dict-of-lists construction: pd.DataFrame(list-of-dicts) does per-cell
-    # type inference and is ~2x slower on this hot path
-    data = {c: [r.get(c) for r in out] for c in _OUT_COLS}
-    return pd.DataFrame(data, columns=_OUT_COLS)
+            ]
+        out.extend(rows)
+        n = len(rows)
+        doc_col += [doc_id] * n
+        off_col += [offset] * n
+        ref_col += [media_ref] * n
+        err_col += [err] * n
+    data = {c: [r.get(c) for r in out] for c in _EMIT_COLS}
+    data["doc_id"] = doc_col
+    data["offset"] = off_col
+    data["media_ref"] = ref_col
+    data["error"] = err_col
+    return data
 
 
 def ocr_expand(
@@ -143,10 +143,28 @@ def ocr_expand(
     fresh). Defaults to sources/media.resolve_media.
     """
     resolver = resolver or resolve_media
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _expand_batch(pdf, cfg, resolver, save_crops_dir)
+    arrow_schema = to_arrow_schema(MEDIA_ROWS_SCHEMA)
+    in_cols = [
+        "doc_id", "offset", "media_ref", "media_idx", "n_media",
+        "crop_id", "crop_x0", "crop_y0", "crop_x1", "crop_y1", "crop_seq",
+    ]
 
-    return media_spans.mapInPandas(fn, schema=MEDIA_ROWS_SCHEMA)
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = set(batch.schema.names)
+            cols = {
+                c: batch.column(c).to_pylist()
+                for c in in_cols
+                if c in names
+            }
+            data = _expand_columns(cols, cfg, resolver, save_crops_dir)
+            arrays = [
+                pa.array(data[f.name], type=f.type) for f in arrow_schema
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return media_spans.mapInArrow(fn, schema=MEDIA_ROWS_SCHEMA)

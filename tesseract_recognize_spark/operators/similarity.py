@@ -25,7 +25,38 @@ __all__ = [
     "lsh_signs",
     "lsh_bucket",
     "lsh_topk",
+    "two_phase_topk",
 ]
+
+
+def two_phase_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over a (vec_id, neighbor_id, sim) pair set.
+
+    Phase 1 ranks within (vec_id, physical partition id) — the exchange
+    hash-distributes over many groups, so no single reducer receives a
+    query's full candidate set. Phase 2's per-vec_id window then carries at
+    most k rows per (query, input partition) instead of the whole pair set:
+    at 10^9 corpus vectors a single-phase ``Window.partitionBy(vec_id)``
+    funnels every query×corpus pair into n_queries partitions — a straggler
+    wall. Output is identical: the global top-k is a subset of the union of
+    per-group top-k for ANY grouping of the rows, and both phases share the
+    same deterministic ordering (desc sim, asc neighbor_id).
+    """
+    part = pairs.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("vec_id", "_pid").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    pruned = (
+        part.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id")
+    )
 
 
 def _as_double(col) -> Column:
@@ -90,14 +121,7 @@ def brute_force_topk(
         F.col("c.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id")
-    )
+    return two_phase_topk(pairs, k)
 
 
 def lsh_signs(b: int, dim: int) -> list[int]:
@@ -166,9 +190,4 @@ def lsh_topk(
         F.col("c.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "neighbor_id")
-    )
+    return two_phase_topk(pairs, k)

@@ -81,6 +81,14 @@ def extract(
         "doc_id", "offset", "media_ref", "media_idx", "n_media"
     )
     if media_overrides is not None:
+        # (doc_id, offset) must map to ONE override — the reference refuses
+        # ambiguous --image usage (tesseract-recognize.cc:414-418). A
+        # deterministic max-aggregate enforces the invariant without an
+        # eager count action; duplicate rows with identical refs collapse
+        # harmlessly, conflicting refs resolve deterministically.
+        media_overrides = media_overrides.groupBy("doc_id", "offset").agg(
+            F.max("new_media_ref").alias("new_media_ref")
+        )
         media_in = media_in.join(
             media_overrides, ["doc_id", "offset"], "left"
         ).select(

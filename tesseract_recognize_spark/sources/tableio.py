@@ -166,9 +166,16 @@ class IcebergTableIO:
 
 
 def get_table_io(target: str):
-    """Route by target shape: a catalog identifier ('catalog.db.table' —
-    contains '.' and no path separator) → IcebergTableIO; anything else,
-    including a bare relative directory name like 'out', → ParquetTableIO."""
-    if "." in target and os.sep not in target and not target.startswith("."):
+    """Route by target shape: a fully-qualified catalog identifier
+    ('catalog.db.table' — exactly two dots, every segment a valid
+    identifier, no path separator) → IcebergTableIO; anything else,
+    including filenames like 'out.parquet' or a bare directory name,
+    → ParquetTableIO. The strict pattern keeps extension-bearing paths
+    from being misrouted to a (possibly unconfigured) Iceberg catalog."""
+    parts = target.split(".")
+    is_ident = all(
+        p and p.replace("_", "a").replace("-", "a").isalnum() for p in parts
+    )
+    if len(parts) == 3 and is_ident and os.sep not in target:
         return IcebergTableIO(target)
     return ParquetTableIO(target)

@@ -14,6 +14,7 @@ __all__ = [
     "load_table",
     "spans_from_sf_documents",
     "region_crops_for_media",
+    "region_crops_df",
 ]
 
 
@@ -90,3 +91,53 @@ def region_crops_for_media(
             )
         )
     return crops
+
+
+CROPS_SCHEMA = (
+    "doc_id string, offset int, crop_id string, "
+    "crop_x0 int, crop_y0 int, crop_x1 int, crop_y1 int"
+)
+
+
+def region_crops_df(media: DataFrame) -> DataFrame:
+    """Distributed analog of :func:`region_crops_for_media`: derive the crop
+    specs executor-side with mapInPandas over the media-span rows — zero
+    driver-side materialization, so the crops-from-a-previous-extraction
+    workflow is scale-clean end-to-end. Same selection rule (first text
+    block's bbox of each upright page), identical output rows.
+
+    ``media`` needs columns (doc_id, offset, media_ref).
+    """
+    cols = [
+        "doc_id", "offset", "crop_id",
+        "crop_x0", "crop_y0", "crop_x1", "crop_y1",
+    ]
+
+    def derive(batches):
+        import pandas as pd
+
+        from tesseract_recognize_spark.fixtures.raster import (
+            layout_from_ref,
+            layout_geometry,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, offset, ref in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"]
+            ):
+                layout = layout_from_ref(ref)
+                if layout.orientation_k != 0:
+                    continue
+                geo = layout_geometry(layout)
+                bg = next(b for b in geo["blocks"] if b["block"].is_text)
+                x0, y0, x1, y1 = bg["bbox"]
+                rows.append(
+                    (doc_id, int(offset), "r0",
+                     int(x0), int(y0), int(x1), int(y1))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("doc_id", "offset", "media_ref").mapInPandas(
+        derive, CROPS_SCHEMA
+    )
