@@ -38,7 +38,10 @@ from tesseract_recognize_spark.operators.textstats import (
     token_counts,
 )
 from tesseract_recognize_spark.operators.explode import explode_spans
-from tesseract_recognize_spark.operators.multimodal import frame_sample
+from tesseract_recognize_spark.operators.multimodal import (
+    decode_image_features,
+    frame_sample,
+)
 from tesseract_recognize_spark.plans.pipeline import extract, extract_crops
 from tesseract_recognize_spark.sources.testdata import (
     load_table,
@@ -296,6 +299,49 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def q_multimodal_image_features(spark, sf_dir):
+    # REAL image decode path: synthesize a 16×16 gradient PNG per document
+    # executor-side (pure-stdlib encoder), decode it through the default
+    # codec (functions/png.py — zlib inflate + scanline unfiltering, the
+    # reference's pixRead analog, tesseract-recognize.cc:513-531), then
+    # mean-pool to 8×8 features. The gradient makes every pooled cell
+    # closed-form ((doc_id%200) + 4i + 2j + 1.5, exact in float64), so the
+    # whole decode pipeline sits under the DuckDB hash gate.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tesseract_recognize_spark.functions.png import png_encode
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for d in pdf["doc_id"]:
+                v = int(d) % 200
+                img = (
+                    (np.arange(16)[None, :] + 2 * np.arange(16)[:, None] + v)
+                    % 256
+                ).astype("uint8")
+                refs.append(f"media://doc-{int(d)}/png")
+                payloads.append(png_encode(img))
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_ref string, payload binary")
+    out = decode_image_features(media, resize_to=8)
+    return out.select(
+        "media_ref",
+        "mime",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.posexplode("features").alias("k", "feature"),
+    ).select(
+        "media_ref", "mime", "width", "height", "channels",
+        F.col("k").cast("bigint").alias("k"), "feature",
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # approximate ANN (bucketed) — not SQL-expressible cheaply (rows-only)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -326,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_region_crops": q_extract_region_crops,
         "page_set_select": q_page_set_select,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_image_features": q_multimodal_image_features,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -677,5 +724,13 @@ SELECT doc_id,
        (doc_id % 50 + 1)::BIGINT AS n_frames,
        unnest(range(0, (doc_id % 50 + 1)::INT, 7))::BIGINT AS frame_idx
 FROM documents
+""",
+        "multimodal_image_features": """
+SELECT concat('media://doc-', doc_id, '/png') AS media_ref,
+       'image/png' AS mime,
+       16::BIGINT AS width, 16::BIGINT AS height, 1::BIGINT AS channels,
+       k::BIGINT AS k,
+       (doc_id % 200)::DOUBLE + 4 * (k // 8) + 2 * (k % 8) + 1.5 AS feature
+FROM documents, range(0, 64) t(k)
 """,
     }

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "multimodal_image_features",
     "langid",
     "quality_score",
     "token_counts",

@@ -99,7 +99,7 @@ def png_decode(data: bytes) -> np.ndarray:
             line += prev
         elif ftype == 1:  # Sub — sequential along the row
             for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = int(line[i - bpp]) if i >= bpp else 0

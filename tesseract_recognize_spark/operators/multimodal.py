@@ -75,13 +75,23 @@ def decode_image_features(
 
     Input: (media_ref string, payload binary). Output: metadata struct
     fields + a mean-pooled ``resize_to``×``resize_to`` grayscale feature
-    vector (array<double>). With ``codec=None`` the real decode path is
-    explicitly NOT implemented (no codecs in this container) and raises.
+    vector (array<double>). With ``codec=None`` PNG payloads decode for
+    real via the pure-stdlib codec (functions/png.py — the reference's
+    pixRead analog, tesseract-recognize.cc:513-531); other formats (JPEG,
+    TIFF, ...) still need an injected codec (no image libraries ship in
+    this container).
     """
     if codec is None:
-        def codec(_: bytes) -> np.ndarray:
+        from tesseract_recognize_spark.functions.png import (
+            PNG_SIGNATURE,
+            png_decode,
+        )
+
+        def codec(payload: bytes) -> np.ndarray:
+            if payload[:8] == PNG_SIGNATURE:
+                return png_decode(payload)
             raise NotImplementedError(
-                "no image codec available in this environment; "
+                "no codec for non-PNG payloads in this environment; "
                 "inject one (e.g. PIL.Image.open) or use fake_codec"
             )
 
@@ -94,9 +104,15 @@ def decode_image_features(
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                img = codec(bytes(payload))
+                payload = bytes(payload)
+                img = codec(payload)
                 h, w = img.shape[:2]
                 c = 1 if img.ndim == 2 else img.shape[2]
+                mime = (
+                    "image/png"
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n"
+                    else "image/x-synthetic"
+                )
                 gray = img.mean(axis=2) if img.ndim == 3 else img.astype(float)
                 # mean-pool to a fixed grid (integer bucket edges)
                 ys = np.linspace(0, h, resize_to + 1).astype(int)
@@ -110,7 +126,7 @@ def decode_image_features(
                 rows.append(
                     dict(
                         media_ref=ref,
-                        mime="image/x-synthetic",
+                        mime=mime,
                         width=w,
                         height=h,
                         channels=c,
