@@ -351,6 +351,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_mt_topk(spark, sf_dir):
+    # multi-table LSH (2 independent hyperplane families, union of bucket
+    # matches, pair dedup) — the recall knob measured in PLANS.md
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, dim=64, k=5, bits=8, n_queries=50, n_tables=2)
+    return out.select(
+        "vec_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "trim_normalize": q_trim_normalize,
@@ -374,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_image_features": q_multimodal_image_features,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
     }
 
 
@@ -490,35 +501,51 @@ WHERE jaccard >= {threshold}
 
 
 def _ann_lsh_oracle(
-    dim: int = 64, k: int = 5, bits: int = 8, n_queries: int = 50
+    dim: int = 64, k: int = 5, bits: int = 8, n_queries: int = 50,
+    n_tables: int = 1,
 ) -> str:
     """DuckDB oracle for lsh_topk, generated from the SAME md5-derived
     hyperplane sign constants the Spark expression is built from
     (operators/similarity.py:lsh_signs). list_dot_product is a sequential
     left-to-right sum, matching Spark's unrolled dot product bit-for-bit
-    (verified by the round-1 ann_cosine_topk green row)."""
+    (verified by the round-1 ann_cosine_topk green row). With n_tables>1
+    the candidate set is the union over tables (pairs deduped by a
+    max-aggregate, mirroring the Spark plan)."""
     from tesseract_recognize_spark.operators.similarity import lsh_signs
 
-    bucket = " + ".join(
-        "(CASE WHEN list_dot_product(v, [{s}]) > 0 THEN {p} ELSE 0 END)".format(
-            s=", ".join(f"{float(x)}" for x in lsh_signs(b, dim)), p=1 << b
+    def bucket(t):
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, [{s}]) > 0 THEN {p} ELSE 0 END)"
+            .format(
+                s=", ".join(f"{float(x)}" for x in lsh_signs(b, dim, t)),
+                p=1 << b,
+            )
+            for b in range(bits)
         )
-        for b in range(bits)
+
+    bucket_cols = ", ".join(
+        f"({bucket(t)}) AS bucket{t}" for t in range(n_tables)
+    )
+    tb_union = " UNION ALL ".join(
+        f"SELECT vec_id, v, norm, {t} AS tbl, bucket{t} AS bucket FROM bk"
+        for t in range(n_tables)
     )
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bk AS (
   SELECT vec_id, v,
          sqrt(list_dot_product(v, v)) AS norm,
-         ({bucket}) AS bucket
+         {bucket_cols}
   FROM base
 ),
+tb AS ({tb_union}),
 pairs AS (
   SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS sim
-  FROM bk q JOIN bk c
-    ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+         max(list_dot_product(q.v, c.v) / (q.norm * c.norm)) AS sim
+  FROM tb q JOIN tb c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id != c.vec_id
   WHERE q.vec_id < {n_queries}
+  GROUP BY q.vec_id, c.vec_id
 )
 SELECT vec_id, rank, neighbor_id FROM (
   SELECT vec_id, neighbor_id,
@@ -708,6 +735,9 @@ SELECT concat('media://', doc_id, '/0') AS media_ref
 FROM documents WHERE doc_id % 6 = 0
 """,
         "ann_lsh_topk": _ann_lsh_oracle(dim=64, k=5, bits=8, n_queries=50),
+        "ann_lsh_mt_topk": _ann_lsh_oracle(
+            dim=64, k=5, bits=8, n_queries=50, n_tables=2
+        ),
         "extract_full": _extract_full_oracle(),
         "extract_region_crops": _golden_oracle(GOLDEN_EXTRACT_CROPS),
         "page_set_select": """

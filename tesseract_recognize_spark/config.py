@@ -32,6 +32,14 @@ class ExtractConfig:
     # prefix region ids with a crop/selection id (reference xpath region mode,
     # tesseract-recognize.cc:663-666); None = whole-page mode
     crop_id: str | None = None
+    # render dpi for media recognition (reference --density, default 300,
+    # tesseract-recognize.cc:45,542: the Ghostscript page-render dpi).
+    # The synthetic resolver renders at the canonical 300-dpi contract;
+    # density=k*300 recognizes the same content with every emitted
+    # coordinate and page dimension in the k*-scaled frame — exactly what
+    # rendering a vector-perfect page at k*300 dpi yields. Restricted to
+    # multiples of 300 so geometry stays integer-exact.
+    density: int = 300
 
     # --- runtime knobs (scale, not semantics) ---
     # target number of partitions for the media stage (0 = leave as-is);
@@ -58,6 +66,8 @@ class ExtractConfig:
             )
         if self.psm not in ("auto", "auto_osd"):
             raise ValueError("psm must be 'auto' or 'auto_osd'")
+        if self.density < 300 or self.density % 300 != 0:
+            raise ValueError("density must be a positive multiple of 300")
 
     @property
     def layout_rank(self) -> int:

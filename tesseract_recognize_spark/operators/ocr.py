@@ -47,6 +47,51 @@ _OUT_COLS = [f.name for f in MEDIA_ROWS_SCHEMA.fields]
 _BASE_COLS = ("doc_id", "offset", "media_ref", "error")
 _EMIT_COLS = [c for c in _OUT_COLS if c not in _BASE_COLS]
 
+def _scale_page(page: dict, k: int) -> dict:
+    """density analog (reference --density, tesseract-recognize.cc:45,542):
+    re-express the decoded upright-frame geometry at a k*300-dpi render.
+    A pixel [x0..x1] (inclusive) at the canonical dpi covers
+    [k*x0 .. k*x1 + k-1] in the k*-scaled render; scaling the page dict
+    BEFORE emission keeps every downstream computation (rotation to raster
+    frame, baseline clip, polystripe, T3/P1/P2/P3) frame-coherent."""
+
+    def box(b):
+        if b is None:
+            return None
+        x0, y0, x1, y1 = b
+        return (k * x0, k * y0, k * x1 + k - 1, k * y1 + k - 1)
+
+    out = dict(page)
+    out["page_w"] = page["page_w"] * k
+    out["page_h"] = page["page_h"] * k
+    blocks = []
+    for blk in page["blocks"]:
+        nb = dict(blk, bbox=box(blk["bbox"]))
+        if blk.get("paras"):
+            nb["paras"] = [
+                [
+                    dict(
+                        line,
+                        bbox=box(line["bbox"]),
+                        words=[
+                            dict(
+                                w,
+                                bbox=box(w["bbox"]),
+                                glyph_bboxes=[
+                                    box(g) for g in w["glyph_bboxes"]
+                                ],
+                            )
+                            for w in line["words"]
+                        ],
+                    )
+                    for line in para
+                ]
+                for para in blk["paras"]
+            ]
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out
+
 
 def _expand_columns(
     cols: dict[str, list], cfg: ExtractConfig, resolver, save_crops_dir=None
@@ -54,6 +99,7 @@ def _expand_columns(
     """Column lists in → column lists out (one output element per emitted
     span row). Pure Python — shared by the Arrow stage and unit tests."""
     crop_mode = "crop_id" in cols
+    k_density = cfg.density // 300
     out: list[dict] = []
     doc_col: list = []
     off_col: list = []
@@ -98,6 +144,8 @@ def _expand_columns(
                         raster,
                     )
             page = decode_raster(raster)
+            if k_density > 1:
+                page = _scale_page(page, k_density)
             rows = emit_page_rows(
                 page, cfg, int(cols["media_idx"][i]),
                 int(cols["n_media"][i]), crop=crop,

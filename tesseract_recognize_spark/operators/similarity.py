@@ -124,18 +124,19 @@ def brute_force_topk(
     return two_phase_topk(pairs, k)
 
 
-def lsh_signs(b: int, dim: int) -> list[int]:
-    """Hyperplane h_b's ±1 components: deterministic md5 of "b|d" — no RNG,
-    reproducible in any engine (the DuckDB oracle is generated from the
-    same constants)."""
+def lsh_signs(b: int, dim: int, table: int = 0) -> list[int]:
+    """Hyperplane h_b's ±1 components: deterministic md5 of "b|d" (table 0;
+    table t>0 prefixes "t{t}:") — no RNG, reproducible in any engine (the
+    DuckDB oracle is generated from the same constants)."""
+    prefix = "" if table == 0 else f"t{table}:"
     return [
-        1 if int(hashlib.md5(f"{b}|{d}".encode()).hexdigest(), 16) & 1
+        1 if int(hashlib.md5(f"{prefix}{b}|{d}".encode()).hexdigest(), 16) & 1
         else -1
         for d in range(dim)
     ]
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     """Sign-random-projection bucket id: Σ_b 2^b · [⟨v, h_b⟩ > 0].
 
     Each projection is the UNROLLED codegen dot product against a literal
@@ -143,7 +144,7 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
     what is a per-vector hot path."""
     terms = []
     for b in range(bits):
-        signs = F.array(*[F.lit(float(s)) for s in lsh_signs(b, dim)])
+        signs = F.array(*[F.lit(float(s)) for s in lsh_signs(b, dim, table)])
         proj = dot_product(vec, signs, dim)
         terms.append(
             F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -162,32 +163,59 @@ def lsh_topk(
     n_queries: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine re-rank. The bucket equi-join replaces the cross
-    product — the piece that makes ANN feasible at 10^12 rows."""
+    product — the piece that makes ANN feasible at 10^12 rows.
+
+    ``n_tables > 1`` runs the standard multi-table LSH recall boost: T
+    independent hyperplane families, a candidate qualifies if it shares a
+    bucket in ANY table (explode over (table, bucket), equi-join on both,
+    dedup pairs with a max-aggregate before the re-rank). Recall rises
+    roughly as 1-(1-p^bits)^T for per-plane agreement p; cost rises ~T×
+    in bucket-join fan-out, still never the O(n²) cross product."""
     base = (
         emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        # bucket AND norm computed once per vector, pre-join — the join hot
-        # loop is then a single unrolled dot product + one divide
-        .withColumn("bucket", lsh_bucket(F.col("v"), dim, bits))
+        # buckets AND norm computed once per vector, pre-join — the join
+        # hot loop is then a single unrolled dot product + one divide
         .withColumn("norm", F.sqrt(dot_product(F.col("v"), F.col("v"), dim)))
     )
+    if n_tables == 1:
+        base = base.withColumn("bucket", lsh_bucket(F.col("v"), dim, bits))
+        join_keys = [("bucket", "bucket")]
+    else:
+        base = base.withColumn(
+            "_bks",
+            F.array(
+                *[lsh_bucket(F.col("v"), dim, bits, t)
+                  for t in range(n_tables)]
+            ),
+        ).select(
+            "vec_id", "v", "norm",
+            F.posexplode("_bks").alias("tbl", "bucket"),
+        )
+        join_keys = [("tbl", "tbl"), ("bucket", "bucket")]
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
     sim = dot_product(F.col("q.v"), F.col("c.v"), dim) / (
         F.col("q.norm") * F.col("c.norm")
     )
-    pairs = q.join(
-        c,
-        (F.col("q.bucket") == F.col("c.bucket"))
-        & (F.col("q.vec_id") != F.col("c.vec_id")),
-    ).select(
+    cond = F.col("q.vec_id") != F.col("c.vec_id")
+    for a, b in join_keys:
+        cond = cond & (F.col(f"q.{a}") == F.col(f"c.{b}"))
+    pairs = q.join(c, cond).select(
         F.col("q.vec_id").alias("vec_id"),
         F.col("c.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
     )
+    if n_tables > 1:
+        # a pair found in several tables must count once; sim is identical
+        # on every copy so any aggregate works — max keeps it codegen
+        pairs = pairs.groupBy("vec_id", "neighbor_id").agg(
+            F.max("sim").alias("sim")
+        )
     return two_phase_topk(pairs, k)
