@@ -1,0 +1,82 @@
+"""Host-physics probe: per-core throughput of the pure-Python OCR workload
+at P resident worker processes, NO Spark involved.
+
+Each worker runs the identical loop the Spark OCR stage runs per row —
+resolve (render) → decode → emit — over a deterministic slice of media
+refs. Aggregate throughput at P=8 vs P=32 isolates what a single shared
+host does to per-core CPU when 4x more workers are resident (memory
+bandwidth, all-core turbo, LLC contention): effects that exist WITHOUT any
+framework and that do NOT compound on a real cluster where N and 4N
+executors sit on separate hosts with private memory systems.
+
+    python scripts/cpu_inflation_probe.py [pages_per_worker] [reps]
+
+Prints one JSON line:
+  {"tp8": ..., "tp32": ..., "per_core_ratio": r}
+r = (tp32/32) / (tp8/8); r < 1 quantifies the host-physics inflation the
+local[8]-vs-local[32] scaling bench inherits through no fault of the
+pipeline. The Spark-attributable efficiency is eff_measured / r.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def worker(args):
+    wid, n_pages = args
+    from tesseract_recognize_spark.config import ExtractConfig
+    from tesseract_recognize_spark.functions.emission import emit_page_rows
+    from tesseract_recognize_spark.operators.ocr_core import decode_raster
+    from tesseract_recognize_spark.sources.media import resolve_media
+
+    cfg = ExtractConfig(media_partitions=1)
+    t0 = time.time()
+    n_rows = 0
+    for i in range(n_pages):
+        ref = f"media://doc-{wid * 100003 + i}/0#probe{wid}_{i}"
+        raster = resolve_media(ref)
+        page = decode_raster(raster)
+        rows = emit_page_rows(page, cfg, 1, 1)
+        n_rows += len(rows)
+    return time.time() - t0, n_rows
+
+
+def measure(n_procs: int, n_pages: int, reps: int) -> float:
+    best = 0.0
+    for _ in range(reps):
+        with mp.Pool(n_procs) as pool:
+            t0 = time.time()
+            results = pool.map(
+                worker, [(w, n_pages) for w in range(n_procs)]
+            )
+            wall = time.time() - t0
+        tp = n_procs * n_pages / wall
+        best = max(best, tp)
+    return best
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # warm imports once so fork children inherit hot modules
+    worker((0, 5))
+    tp8 = measure(8, n_pages, reps)
+    tp32 = measure(32, n_pages, reps)
+    r = (tp32 / 32) / (tp8 / 8)
+    print(json.dumps({
+        "pages_per_worker": n_pages,
+        "reps": reps,
+        "tp8_pages_per_sec": round(tp8, 1),
+        "tp32_pages_per_sec": round(tp32, 1),
+        "per_core_ratio": round(r, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -231,7 +231,20 @@ def ngram_jaccard_pairs(
          verify shuffle is proportional to candidates, not corpus.
          |∩| / (|a| + |b| - |∩|), exact int/double arithmetic.
     """
-    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
+    from pyspark import StorageLevel
+
+    # The signature table feeds FOUR consumers (both sides of the band
+    # self-join, sig_a, sig_b) and the prefiltered pair set feeds two (the
+    # verify join and the candidate semi-join). Catalyst's exchange reuse
+    # does not deduplicate these subtrees under AQE here (measured: the
+    # full shingle-explode + 16-aggregate pipeline re-executed per
+    # consumer, 63s -> 22s at sf0.1 with explicit persists), so both are
+    # persisted: sigs is 8·n_hashes bytes/doc (MEMORY_AND_DISK spills
+    # gracefully; at 10^12 docs this becomes a checkpoint table instead),
+    # prefiltered is bounded by the candidate count.
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = minhash_lsh_pairs(
         docs, text_col, n_hashes, band_size, shingle_k, sigs=sigs
     )
@@ -252,19 +265,24 @@ def ngram_jaccard_pairs(
         .join(sig_b, "doc_b")
         .where(agree >= est_min_agree)
         .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Build shingle sets ONLY for documents that appear in a candidate pair:
-    # semi-join docs to the (tiny) candidate doc_id set first. Without this,
+    # semi-join docs to the candidate doc_id set first. Without this,
     # verification aggregates collect_set(h) over EVERY document's shingles —
     # a full-corpus shuffle to verify a handful of pairs. Catalyst reuses the
     # signature-aggregate exchange between the candidate branch and this one
-    # (ReusedExchange), so the LSH pipeline is not recomputed.
+    # (ReusedExchange), so the LSH pipeline is not recomputed. No broadcast
+    # HINT: the candidate set is usually tiny (AQE converts to a broadcast
+    # semi-join at runtime) but is not provably bounded — on a pathological
+    # mostly-duplicate corpus AQE degrades to a shuffled semi-join instead
+    # of OOMing the driver.
     cand_ids = (
         prefiltered.select(F.col("doc_a").alias("doc_id"))
         .union(prefiltered.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    docs_c = docs.join(cand_ids, "doc_id", "left_semi")
     sets = shingle_hashes(docs_c, text_col, shingle_k).groupBy("doc_id").agg(
         F.collect_set("h").alias("sh")
     )
