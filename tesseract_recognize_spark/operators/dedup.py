@@ -216,12 +216,19 @@ def ngram_jaccard_pairs(
 
     Three stages, all linear in corpus size (no coarse-block self-join,
     which is O(n²) inside a hot block at corpus scale):
-      1. banded-LSH candidates (one shuffle on the band key);
-      2. MinHash-agreement prefilter: candidates must agree on
-         ≥ est_min_agree of the n_hashes signature components — 16 integer
-         comparisons per pair. Templated corpora fire bands on 4-hash
-         coincidences, so >95% of candidates die here for ~free instead of
-         in the shingle-set intersection (327s → seconds at sf0.1). At the
+      1. banded-LSH candidates (one shuffle on the band key) with the full
+         signature CARRIED ON THE BAND ROWS — n_hashes extra longs per row
+         on a table of n_docs·n_bands rows;
+      2. MinHash-agreement prefilter evaluated INSIDE the band join:
+         candidates must agree on ≥ est_min_agree of the n_hashes
+         signature components — 16 integer comparisons per pair, applied
+         in the join stage BEFORE any pair row ever shuffles. Templated
+         corpora fire bands on 4-hash coincidences producing millions of
+         raw candidate pairs; with the signatures already present, >95%
+         die in-stage and only survivors reach the distinct. (The round-3
+         flow materialized+distinct'ed the raw pairs and re-joined them to
+         the signature table twice — three full pair-set shuffles this
+         formulation deletes; 23s → single digits at sf0.1.) At the
          default (8/16 ≈ est J .5 vs threshold .8), the miss probability
          for a true 0.8-Jaccard pair is P[Binom(16,.8) < 8] ≈ 1e-3 — the
          standard verify-prefilter trade, mirrored exactly by the oracle;
@@ -230,41 +237,58 @@ def ngram_jaccard_pairs(
          for doc_ids surviving the prefilter (broadcast semi-join): the
          verify shuffle is proportional to candidates, not corpus.
          |∩| / (|a| + |b| - |∩|), exact int/double arithmetic.
+
+    Caching note: ``sigs`` and ``prefiltered`` are persisted
+    (MEMORY_AND_DISK) because each feeds multiple consumers that Catalyst
+    does not deduplicate under AQE (measured round 2: the shingle-explode
+    + 16-aggregate pipeline re-executed per consumer). The caller owns
+    cleanup for long-lived sessions: ``spark.catalog.clearCache()`` after
+    the result materializes (bench.py does this between passes), or at
+    10^12 docs write ``sigs`` to a checkpoint table instead.
     """
     from pyspark import StorageLevel
 
-    # The signature table feeds FOUR consumers (both sides of the band
-    # self-join, sig_a, sig_b) and the prefiltered pair set feeds two (the
-    # verify join and the candidate semi-join). Catalyst's exchange reuse
-    # does not deduplicate these subtrees under AQE here (measured: the
-    # full shingle-explode + 16-aggregate pipeline re-executed per
-    # consumer, 63s -> 22s at sf0.1 with explicit persists), so both are
-    # persisted: sigs is 8·n_hashes bytes/doc (MEMORY_AND_DISK spills
-    # gracefully; at 10^12 docs this becomes a checkpoint table instead),
-    # prefiltered is bounded by the candidate count.
     sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = minhash_lsh_pairs(
-        docs, text_col, n_hashes, band_size, shingle_k, sigs=sigs
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(n_hashes)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
     )
-    sig_a = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
-    )
-    sig_b = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
-    )
+    left, right = bands.alias("a"), bands.alias("b")
     agree = None
     for i in range(n_hashes):
-        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        t = F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
         agree = t if agree is None else agree + t
     prefiltered = (
-        cands.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(agree >= est_min_agree)
-        .select("doc_a", "doc_b")
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Build shingle sets ONLY for documents that appear in a candidate pair:

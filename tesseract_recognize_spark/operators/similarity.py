@@ -30,30 +30,33 @@ __all__ = [
 
 
 def two_phase_topk(pairs: DataFrame, k: int) -> DataFrame:
-    """Two-phase per-query top-k over a (vec_id, neighbor_id, sim) pair set.
+    """Per-query top-k over a (vec_id, neighbor_id, sim) pair set, executed
+    as a physically two-phase plan with exactly ONE exchange.
 
-    Phase 1 ranks within (vec_id, physical partition id) — the exchange
-    hash-distributes over many groups, so no single reducer receives a
-    query's full candidate set. Phase 2's per-vec_id window then carries at
-    most k rows per (query, input partition) instead of the whole pair set:
-    at 10^9 corpus vectors a single-phase ``Window.partitionBy(vec_id)``
-    funnels every query×corpus pair into n_queries partitions — a straggler
-    wall. Output is identical: the global top-k is a subset of the union of
-    per-group top-k for ANY grouping of the rows, and both phases share the
-    same deterministic ordering (desc sim, asc neighbor_id).
+    The implementation is a plain ``row_number() <= k`` window filter —
+    Catalyst's rank-limit pushdown (``WindowGroupLimit``, Spark ≥ 3.5; this
+    repo pins 4.1) rewrites it into the two-phase physical shape:
+
+        Sort (partition-local)
+        WindowGroupLimit Partial   ← map-side per-vec_id top-k prune
+        Exchange hash(vec_id)      ← carries ≤ k rows per (query, map
+        Sort                          partition) — NOT the full pair set
+        WindowGroupLimit Final
+        Window
+
+    so no reducer ever receives a query's full candidate set (at 10^9
+    corpus vectors an unpruned per-vec_id exchange is a straggler wall),
+    and the pruned exchange is the only shuffle this operator adds. Earlier
+    hand-rolled variants (round 2: rank over (vec_id, spark_partition_id())
+    — shuffled the FULL pair set once before pruning; round 4 draft:
+    sortWithinPartitions + a mapInArrow run-length scan — same plan shape
+    but with an extra Python stage and a second local sort) are strictly
+    dominated by letting the optimizer do it. Ordering is deterministic:
+    desc sim, ties broken on asc neighbor_id.
     """
-    part = pairs.withColumn("_pid", F.spark_partition_id())
-    w1 = Window.partitionBy("vec_id", "_pid").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    pruned = (
-        part.withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") <= k)
-        .drop("_pid", "_r")
-    )
-    w2 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        pruned.withColumn("rank", F.row_number().over(w2))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id")
     )

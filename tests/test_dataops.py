@@ -85,6 +85,40 @@ def test_brute_force_topk_ranks(spark):
     assert rows[(0, 1)] == 1 and rows[(0, 3)] == 3
 
 
+def test_topk_plan_prunes_before_single_exchange(spark):
+    """Pin the two_phase_topk physical shape: Catalyst's rank-limit
+    pushdown (WindowGroupLimit, Spark >= 3.5) must insert a map-side
+    per-vec_id prune BELOW the one hash(vec_id) exchange, so the shuffle
+    carries <= k rows per (query, map partition) — never the full pair
+    set. A Spark upgrade that silently dropped the rewrite would
+    reintroduce the 10^9-scale straggler wall; this test catches it."""
+    import io
+    from contextlib import redirect_stdout
+
+    rng = np.random.RandomState(1)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        brute_force_topk(emb, k=3).explain("formatted")
+    plan = buf.getvalue()
+    # parse "(id) OpName" detail-section headers (children get LOWER ids)
+    ids: dict[str, list[int]] = {}
+    for ln in plan.splitlines():
+        s = ln.strip()
+        if s.startswith("(") and ") " in s:
+            op_id = int(s[1:s.index(")")])
+            name = s[s.index(") ") + 2:].split()[0]
+            ids.setdefault(name, []).append(op_id)
+    assert len(ids.get("WindowGroupLimit", [])) == 2  # Partial + Final
+    assert len(ids.get("Exchange", [])) == 1  # the one pruned shuffle
+    assert min(ids["WindowGroupLimit"]) < ids["Exchange"][0] < max(
+        ids["WindowGroupLimit"]
+    )
+
+
 def test_lsh_topk_subset_of_bruteforce(spark):
     rng = np.random.RandomState(0)
     vecs = [(i, rng.randn(16).tolist()) for i in range(40)]
