@@ -11,11 +11,15 @@ executors sit on separate hosts with private memory systems.
 
     python scripts/cpu_inflation_probe.py [pages_per_worker] [reps]
 
-Prints one JSON line:
-  {"tp8": ..., "tp32": ..., "per_core_ratio": r}
-r = (tp32/32) / (tp8/8); r < 1 quantifies the host-physics inflation the
-local[8]-vs-local[32] scaling bench inherits through no fault of the
-pipeline. The Spark-attributable efficiency is eff_measured / r.
+Prints one JSON line AND appends the run (plus the P=1/P=4/P=8/P=32
+control curve) to BENCH/cpu_inflation_probe.json in exactly the schema
+scaling_report.py consumes — so the documented Reproduce flow regenerates
+the evidence file, not just a stdout sample.
+
+per_core_ratio_8_to_32 = (tp32/32) / (tp8/8); < 1 quantifies the
+host-physics inflation the local[8]-vs-local[32] scaling bench inherits
+through no fault of the pipeline. The Spark-attributable efficiency is
+eff_measured / r.
 """
 
 from __future__ import annotations
@@ -61,21 +65,69 @@ def measure(n_procs: int, n_pages: int, reps: int) -> float:
     return best
 
 
+EVIDENCE = "BENCH/cpu_inflation_probe.json"
+
+PROBE_DESC = (
+    "scripts/cpu_inflation_probe.py — pure multiprocessing, identical "
+    "per-page workload (render→decode→emit), NO Spark"
+)
+READING = (
+    "per-core Python throughput decays with resident worker count on this "
+    "host (memory bandwidth + all-core turbo), with no framework involved. "
+    "A real N-executor vs 4N-executor cluster runs the SAME per-host "
+    "worker count at both sizes, so this term does not exist there."
+)
+
+
+def loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def main() -> None:
+    import os
+
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    load0 = loadavg1()
     # warm imports once so fork children inherit hot modules
     worker((0, 5))
+    tp1 = measure(1, n_pages, reps)
+    tp4 = measure(4, n_pages, reps)
     tp8 = measure(8, n_pages, reps)
     tp32 = measure(32, n_pages, reps)
     r = (tp32 / 32) / (tp8 / 8)
-    print(json.dumps({
+    run = {
         "pages_per_worker": n_pages,
         "reps": reps,
-        "tp8_pages_per_sec": round(tp8, 1),
-        "tp32_pages_per_sec": round(tp32, 1),
-        "per_core_ratio": round(r, 4),
-    }))
+        "tp8": round(tp8, 1),
+        "tp32": round(tp32, 1),
+        "per_core_ratio_8_to_32": round(r, 4),
+        "loadavg_1min_at_start": round(load0, 1),
+    }
+    # append to the evidence file in the schema scaling_report.py reads;
+    # the control curve is refreshed from this session's measurements
+    evidence = {"probe": PROBE_DESC, "runs": [], "reading": READING}
+    if os.path.exists(EVIDENCE):
+        with open(EVIDENCE) as f:
+            evidence = json.load(f)
+    evidence.setdefault("runs", []).append(run)
+    evidence["control_curve"] = {
+        "tp1": round(tp1, 1),
+        "tp4": round(tp4, 1),
+        "tp8": round(tp8, 1),
+        "tp32": round(tp32, 1),
+        "per_core_vs_single": {
+            "P=1": 1.0,
+            "P=4": round((tp4 / 4) / tp1, 3),
+            "P=8": round((tp8 / 8) / tp1, 3),
+            "P=32": round((tp32 / 32) / tp1, 3),
+        },
+    }
+    os.makedirs(os.path.dirname(EVIDENCE), exist_ok=True)
+    with open(EVIDENCE, "w") as f:
+        json.dump(evidence, f, indent=1)
+    print(json.dumps(run))
 
 
 if __name__ == "__main__":

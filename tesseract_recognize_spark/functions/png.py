@@ -45,8 +45,18 @@ def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 ndarray: (h, w) for grayscale, (h, w, c) else.
 
     Palette images are expanded to RGB. Raises ValueError on anything
-    outside the supported profile (bit depth != 8, interlaced, truncated).
+    outside the supported profile (bit depth != 8, interlaced) AND on any
+    malformed stream (truncated IHDR, bad zlib data, out-of-range palette
+    indices) — struct/zlib/numpy errors are normalized so the quarantine
+    path upstream can key on one exception type.
     """
+    try:
+        return _png_decode(data)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"malformed PNG stream: {e}") from e
+
+
+def _png_decode(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG byte stream (bad signature)")
     pos = 8

@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signatures, partitioning — is real and tested; the actual
-codec step is stubbed behind a seam because no image/audio libraries ship
-in this container: ``decode_image`` raises NotImplementedError unless a
-codec is injected, and ``fake_codec`` provides the deterministic stand-in
-used by tests (it parses the synthetic payload header).
+``mapInPandas`` signatures, partitioning — is real and tested. The
+default codec chain decodes PNG, binary PPM/PGM and uncompressed BMP for
+real (pure stdlib, functions/png.py + functions/codecs.py); formats that
+are not stdlib-decodable (JPEG, compressed TIFF, ...) stay behind the
+injectable-codec seam because no image/audio libraries ship in this
+container, and ``fake_codec`` provides the deterministic stand-in used by
+tests (it parses the synthetic payload header). Undecodable payloads are
+quarantined per row (``error`` column), never stage failures.
 
 Synthetic payload format (produced by ``synth_media_bytes``):
     b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + payload
@@ -75,29 +78,33 @@ def decode_image_features(
 
     Input: (media_ref string, payload binary). Output: metadata struct
     fields + a mean-pooled ``resize_to``×``resize_to`` grayscale feature
-    vector (array<double>). With ``codec=None`` PNG payloads decode for
-    real via the pure-stdlib codec (functions/png.py — the reference's
-    pixRead analog, tesseract-recognize.cc:513-531); other formats (JPEG,
-    TIFF, ...) still need an injected codec (no image libraries ship in
-    this container).
-    """
-    if codec is None:
-        from tesseract_recognize_spark.functions.png import (
-            PNG_SIGNATURE,
-            png_decode,
-        )
+    vector (array<double>) + an ``error`` column. With ``codec=None``
+    PNG, binary PPM/PGM and uncompressed BMP payloads decode for real via
+    the pure-stdlib codec chain (functions/png.py + functions/codecs.py —
+    the reference's pixRead analog, tesseract-recognize.cc:513-531);
+    other formats (JPEG, compressed TIFF, ...) still need an injected
+    codec (no image libraries ship in this container). ``mime`` reflects
+    the DETECTED container, not the claimed one.
 
-        def codec(payload: bytes) -> np.ndarray:
-            if payload[:8] == PNG_SIGNATURE:
-                return png_decode(payload)
-            raise NotImplementedError(
-                "no codec for non-PNG payloads in this environment; "
-                "inject one (e.g. PIL.Image.open) or use fake_codec"
-            )
+    Malformed payloads are quarantined per row (the ocr_expand
+    level='error' discipline): the row survives with NULL metadata/
+    features and the decode error message in ``error`` — one bad payload
+    in a 10^12-row corpus must not fail the stage.
+    """
+    from tesseract_recognize_spark.functions.codecs import (
+        decode_image,
+        sniff_mime,
+    )
+
+    if codec is None:
+        codec = decode_image
 
     out_schema = T.StructType(
         list(MEDIA_META_SCHEMA.fields)
-        + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+        + [
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("error", T.StringType()),
+        ]
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,35 +112,55 @@ def decode_image_features(
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 payload = bytes(payload)
-                img = codec(payload)
-                h, w = img.shape[:2]
-                c = 1 if img.ndim == 2 else img.shape[2]
-                mime = (
-                    "image/png"
-                    if payload[:8] == b"\x89PNG\r\n\x1a\n"
-                    else "image/x-synthetic"
-                )
-                gray = img.mean(axis=2) if img.ndim == 3 else img.astype(float)
-                # mean-pool to a fixed grid (integer bucket edges)
-                ys = np.linspace(0, h, resize_to + 1).astype(int)
-                xs = np.linspace(0, w, resize_to + 1).astype(int)
-                feat = [
-                    float(gray[ys[i]:max(ys[i + 1], ys[i] + 1),
-                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean())
-                    for i in range(resize_to)
-                    for j in range(resize_to)
-                ]
-                rows.append(
-                    dict(
-                        media_ref=ref,
-                        mime=mime,
-                        width=w,
-                        height=h,
-                        channels=c,
-                        n_bytes=len(payload),
-                        features=feat,
+                mime = sniff_mime(payload) or "application/octet-stream"
+                try:
+                    img = codec(payload)
+                    h, w = img.shape[:2]
+                    c = 1 if img.ndim == 2 else img.shape[2]
+                    # grayscale pooling EXCLUDING any alpha channel:
+                    # GA → gray plane, RGBA → mean of RGB only
+                    if img.ndim == 2:
+                        gray = img.astype(float)
+                    elif c == 2:
+                        gray = img[:, :, 0].astype(float)
+                    elif c == 4:
+                        gray = img[:, :, :3].mean(axis=2)
+                    else:
+                        gray = img.mean(axis=2)
+                    # mean-pool to a fixed grid (integer bucket edges)
+                    ys = np.linspace(0, h, resize_to + 1).astype(int)
+                    xs = np.linspace(0, w, resize_to + 1).astype(int)
+                    feat = [
+                        float(gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                   xs[j]:max(xs[j + 1], xs[j] + 1)].mean())
+                        for i in range(resize_to)
+                        for j in range(resize_to)
+                    ]
+                    rows.append(
+                        dict(
+                            media_ref=ref,
+                            mime=mime,
+                            width=w,
+                            height=h,
+                            channels=c,
+                            n_bytes=len(payload),
+                            features=feat,
+                            error=None,
+                        )
                     )
-                )
+                except Exception as e:  # quarantine, don't fail the stage
+                    rows.append(
+                        dict(
+                            media_ref=ref,
+                            mime=mime,
+                            width=None,
+                            height=None,
+                            channels=None,
+                            n_bytes=len(payload),
+                            features=None,
+                            error=f"{type(e).__name__}: {e}",
+                        )
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )

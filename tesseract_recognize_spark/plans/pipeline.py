@@ -3,7 +3,7 @@
     documents ──explode (native, no shuffle)──┬── text branch: native trim
                                               └── media branch:
                                                     repartition(doc_id, offset)   ← skew salting
-                                                    mapInPandas mock-OCR          ← the one UDF
+                                                    mapInArrow mock-OCR           ← the one UDF
                                                     T1 filter (native)
                                                     T3 corners (native)
                union ── repartition(doc_id) ── P1 ── P2 ── P3 ── order window ── sink

@@ -165,17 +165,33 @@ class IcebergTableIO:
         return spark.read.table(self.table).drop(self.GROUP_COL)
 
 
+# filename extensions that make a dotted target a FILE path, not a
+# catalog identifier ('out.parquet' is a parquet file, 'db.table' is an
+# Iceberg table under the session default catalog)
+_FILE_EXTENSIONS = frozenset(
+    "parquet db sqlite json jsonl csv tsv orc avro txt log zip".split()
+)
+
+
 def get_table_io(target: str):
-    """Route by target shape: a fully-qualified catalog identifier
-    ('catalog.db.table' — exactly two dots, every segment a valid
-    identifier, no path separator) → IcebergTableIO; anything else,
-    including filenames like 'out.parquet' or a bare directory name,
-    → ParquetTableIO. The strict pattern keeps extension-bearing paths
-    from being misrouted to a (possibly unconfigured) Iceberg catalog."""
+    """Route by target shape: a catalog identifier — 'catalog.db.table'
+    (two dots) or 'db.table' (one dot, resolved against the session
+    default catalog), every segment a valid identifier, no path
+    separator, last segment NOT a known file extension → IcebergTableIO;
+    anything else, including filenames like 'out.parquet'/'results.db'
+    or a bare directory name, → ParquetTableIO. The extension list keeps
+    extension-bearing paths from being misrouted to a (possibly
+    unconfigured) Iceberg catalog while still accepting the two-part
+    identifiers Iceberg users actually write."""
     parts = target.split(".")
     is_ident = all(
         p and p.replace("_", "a").replace("-", "a").isalnum() for p in parts
     )
-    if len(parts) == 3 and is_ident and os.sep not in target:
+    if (
+        len(parts) in (2, 3)
+        and is_ident
+        and os.sep not in target
+        and parts[-1].lower() not in _FILE_EXTENSIONS
+    ):
         return IcebergTableIO(target)
     return ParquetTableIO(target)

@@ -1,0 +1,143 @@
+"""Pure-stdlib raster codecs (functions/codecs.py): netpbm + BMP
+roundtrips, header edge cases, and the one-exception-type error contract
+(everything malformed → ValueError). No Spark session needed."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tesseract_recognize_spark.functions.codecs import (
+    bmp_decode,
+    bmp_encode,
+    decode_image,
+    ppm_decode,
+    ppm_encode,
+    sniff_mime,
+)
+from tesseract_recognize_spark.functions.png import png_decode, png_encode
+
+
+def _gray(h=5, w=7):
+    return ((np.arange(h * w) * 11) % 256).astype(np.uint8).reshape(h, w)
+
+
+def _rgb(h=5, w=7):
+    g = _gray(h, w)
+    return np.dstack([g, (g * 3) % 256, 255 - g])
+
+
+def test_pgm_roundtrip():
+    img = _gray()
+    out = ppm_decode(ppm_encode(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_ppm_roundtrip():
+    img = _rgb()
+    out = ppm_decode(ppm_encode(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _gray(2, 3)
+    data = b"P5 # comment\n# another comment\n 3\t2 \n255\n" + img.tobytes()
+    assert np.array_equal(ppm_decode(data), img)
+
+
+def test_ppm_malformed_raises_valueerror():
+    for data in (b"P4\n1 1\n255\n\x00", b"P5\nx 2\n255\n", b"P5\n3 2\n255\n\x00",
+                 b"P5\n3 2\n70000\n" + b"\x00" * 6):
+        with pytest.raises(ValueError):
+            ppm_decode(data)
+
+
+def test_bmp_roundtrip_24bit():
+    # width 7 → stride padding exercised (7*3=21 → 24)
+    img = _rgb()
+    out = bmp_decode(bmp_encode(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_bmp_topdown_negative_height():
+    img = _rgb(4, 4)
+    # encoder writes bottom-up, so the file's row order is img[::-1];
+    # flipping the height sign makes the decoder read rows top-down,
+    # yielding the vertically mirrored image
+    data = bytearray(bmp_encode(img))
+    struct.pack_into("<i", data, 22, -4)
+    out = bmp_decode(bytes(data))
+    assert np.array_equal(out, img[::-1])
+
+
+def test_bmp_8bit_palette():
+    h, w = 3, 6  # w*1=6 → stride 8, padding exercised
+    idx = (np.arange(h * w) % 5).astype(np.uint8).reshape(h, w)
+    palette = np.array(
+        [[10, 20, 30, 0], [40, 50, 60, 0], [70, 80, 90, 0],
+         [100, 110, 120, 0], [130, 140, 150, 0]], dtype=np.uint8
+    )  # BGRX entries
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    body = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body),
+                       0, 0, len(palette), 0)
+    hdr = struct.pack("<2sIHHI", b"BM",
+                      14 + 40 + palette.nbytes + len(body), 0, 0,
+                      14 + 40 + palette.nbytes)
+    data = hdr + info + palette.tobytes() + body
+    out = bmp_decode(data)
+    assert out.shape == (h, w, 3)
+    # BGRX palette entry [10,20,30] → RGB [30,20,10]
+    assert list(out[0, 0]) == list(palette[idx[0, 0]][[2, 1, 0]])
+
+
+def test_bmp_malformed_raises_valueerror():
+    good = bmp_encode(_rgb(2, 2))
+    compressed = bytearray(good)
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    for data in (b"BM" + b"\x00" * 4, good[:30], bytes(compressed),
+                 b"PX" + good[2:]):
+        with pytest.raises(ValueError):
+            bmp_decode(data)
+
+
+def test_png_malformed_normalized_to_valueerror():
+    good = png_encode(_gray(4, 4))
+    truncated_ihdr = good[:20]
+    bad_zlib = good[:33] + struct.pack(">I", 4) + b"IDAT\xff\xff\xff\xff" \
+        + b"\x00" * 4 + good[-12:]
+    for data in (truncated_ihdr, bad_zlib, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4):
+        with pytest.raises(ValueError):
+            png_decode(data)
+
+
+def test_sniff_and_decode_chain():
+    gray, rgb = _gray(), _rgb()
+    cases = [
+        (png_encode(gray), "image/png", gray.shape),
+        (ppm_encode(gray), "image/x-portable-graymap", gray.shape),
+        (ppm_encode(rgb), "image/x-portable-pixmap", rgb.shape),
+        (bmp_encode(rgb), "image/bmp", rgb.shape),
+    ]
+    for payload, mime, shape in cases:
+        assert sniff_mime(payload) == mime
+        assert decode_image(payload).shape == shape
+    assert sniff_mime(b"IMG1xxxx") == "image/x-synthetic"
+    assert sniff_mime(b"\xff\xd8\xff\xe0jpeg") is None
+    with pytest.raises(ValueError, match="no stdlib codec"):
+        decode_image(b"\xff\xd8\xff\xe0jpeg")
+
+
+def test_cross_codec_pixel_equality():
+    """The same pixels through PNG, PPM and BMP decode identically — the
+    'mirrors pixRead's any-raster intent' contract."""
+    rgb = _rgb(6, 6)
+    a = png_decode(png_encode(rgb))
+    b = ppm_decode(ppm_encode(rgb))
+    c = bmp_decode(bmp_encode(rgb))
+    assert np.array_equal(a, b) and np.array_equal(b, c)

@@ -161,12 +161,76 @@ def test_multimodal_decode_plumbing(spark):
     )
 
 
-def test_multimodal_no_codec_raises(spark):
-    df = spark.createDataFrame(
-        [("m://a", synth_media_bytes("m://a", 8, 8))], ["media_ref", "payload"]
+def test_multimodal_undecodable_payload_quarantined(spark):
+    """One bad payload must NOT fail the stage (10^12-row discipline):
+    IMG1 synthetic bytes have no stdlib codec, so the row survives with
+    NULL metadata/features and the decode error recorded, while the good
+    PNG row in the same batch decodes normally."""
+    from tesseract_recognize_spark.functions.png import png_encode
+
+    good = png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    rows = [
+        ("m://bad", synth_media_bytes("m://bad", 8, 8)),
+        ("m://trunc", good[:20]),  # truncated PNG → malformed, not fatal
+        ("m://good", good),
+    ]
+    df = spark.createDataFrame(rows, ["media_ref", "payload"])
+    out = {r["media_ref"]: r for r in decode_image_features(df).collect()}
+    assert len(out) == 3
+    assert out["m://bad"].error is not None
+    assert "no stdlib codec" in out["m://bad"].error
+    assert out["m://bad"].features is None and out["m://bad"].width is None
+    assert out["m://trunc"].error is not None
+    assert out["m://good"].error is None
+    assert out["m://good"].width == 8 and out["m://good"].mime == "image/png"
+
+
+def test_multimodal_nonpng_codecs_and_mime(spark):
+    """PPM/PGM and BMP payloads decode through the default chain and the
+    mime column reflects the DETECTED container."""
+    from tesseract_recognize_spark.functions.codecs import (
+        bmp_encode,
+        ppm_encode,
     )
-    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
-        decode_image_features(df).collect()
+
+    gray = (np.arange(96, dtype=np.uint8).reshape(8, 12) * 2) % 256
+    rgb = np.dstack([gray, gray // 2, 255 - gray])
+    rows = [
+        ("m://pgm", bytearray(ppm_encode(gray))),
+        ("m://ppm", bytearray(ppm_encode(rgb))),
+        ("m://bmp", bytearray(bmp_encode(rgb))),
+    ]
+    df = spark.createDataFrame(rows, ["media_ref", "payload"])
+    out = {r["media_ref"]: r for r in
+           decode_image_features(df, resize_to=4).collect()}
+    assert out["m://pgm"].mime == "image/x-portable-graymap"
+    assert out["m://ppm"].mime == "image/x-portable-pixmap"
+    assert out["m://bmp"].mime == "image/bmp"
+    for r in out.values():
+        assert r.error is None
+        assert (r.width, r.height, r.channels) in {(12, 8, 1), (12, 8, 3)}
+    # PPM and BMP carry the same RGB pixels → identical pooled features
+    assert out["m://ppm"].features == out["m://bmp"].features
+
+
+def test_multimodal_alpha_excluded_from_features(spark):
+    """RGBA features must ignore alpha: same RGB + different alpha planes
+    → identical pooled features (the alpha-averaging bug the round-3
+    advisor flagged)."""
+    from tesseract_recognize_spark.functions.png import png_encode
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    opaque = np.dstack([rgb, np.full((8, 8), 255, np.uint8)])
+    clear = np.dstack([rgb, np.zeros((8, 8), np.uint8)])
+    df = spark.createDataFrame(
+        [("m://op", png_encode(opaque)), ("m://cl", png_encode(clear))],
+        ["media_ref", "payload"],
+    )
+    out = {r["media_ref"]: r for r in
+           decode_image_features(df, resize_to=4).collect()}
+    assert out["m://op"].channels == 4
+    assert out["m://op"].features == out["m://cl"].features
 
 
 def test_frame_sample(spark):

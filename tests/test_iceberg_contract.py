@@ -161,7 +161,13 @@ def test_snapshot_per_commit(spark, fake_catalog):
 
 def test_routing():
     assert isinstance(get_table_io("cat.db.tbl"), IcebergTableIO)
+    # two-part identifier = Iceberg table under the session default
+    # catalog (round-3 advisor: must not silently become a parquet dir
+    # literally named 'db.table')
+    assert isinstance(get_table_io("db.tbl"), IcebergTableIO)
     assert isinstance(get_table_io("out.parquet"), ParquetTableIO)
     assert isinstance(get_table_io("results.db"), ParquetTableIO)
+    assert isinstance(get_table_io("events.jsonl"), ParquetTableIO)
     assert isinstance(get_table_io("/abs/path/out"), ParquetTableIO)
     assert isinstance(get_table_io("plain_dir"), ParquetTableIO)
+    assert isinstance(get_table_io("a/b.tbl"), ParquetTableIO)

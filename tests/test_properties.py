@@ -1,9 +1,12 @@
-"""Property-based invariants (hypothesis; no Spark session needed)."""
+"""Property-based invariants (hypothesis / seeded sweeps). Most need no
+Spark session; the explode_spans page-set sweep (bottom) uses the shared
+session fixture."""
 
 from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from tesseract_recognize_spark.constants import GLYPH_W
@@ -85,3 +88,141 @@ def test_hashstream_deterministic(seed, n):
     a, b = HashStream(seed), HashStream(seed)
     assert [a.u(n) for _ in range(8)] == [b.u(n) for _ in range(8)]
     assert all(0 <= a.u(n) < n for _ in range(8))
+
+
+# --- parse_pages_set: adversarial hypothesis sweep vs a reference model ---
+
+def _pages_model(spec: str) -> frozenset[int]:
+    """Independent reimplementation of the reference's parsePagesSet
+    semantics (tesseract-recognize.cc:222-235) for differential testing."""
+    out: set[int] = set()
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "-" in tok:
+            a, b = (side.strip() for side in tok.split("-", 1))
+            if not (a.isdigit() and b.isdigit()) or int(b) < int(a):
+                raise ValueError(tok)
+            out.update(range(int(a), int(b) + 1))
+        elif tok.isdigit():
+            out.add(int(tok))
+        else:
+            raise ValueError(tok)
+    return frozenset(out)
+
+
+_tok_valid = st.one_of(
+    st.integers(0, 99).map(str),
+    st.tuples(st.integers(0, 50), st.integers(0, 49)).map(
+        lambda ab: f"{ab[0]}-{ab[0] + ab[1]}"
+    ),
+)
+_tok_junk = st.sampled_from(
+    ["x", "3x", "-", "1-", "-2", "2-1", "1.5", "a-b", "--", "1-2-3", "+4"]
+)
+
+
+@given(st.lists(_tok_valid, max_size=8),
+       st.sampled_from(["", " ", "  ", "\t"]))
+@settings(max_examples=80)
+def test_parse_pages_set_valid_specs_match_model(toks, pad):
+    spec = ",".join(pad + t + pad for t in toks)
+    assert parse_pages_set(spec) == _pages_model(spec)
+
+
+@given(st.lists(_tok_valid, max_size=4), _tok_junk,
+       st.integers(0, 4))
+@settings(max_examples=80)
+def test_parse_pages_set_malformed_raises(toks, junk, at):
+    import pytest
+
+    toks = list(toks)
+    toks.insert(min(at, len(toks)), junk)
+    with pytest.raises(ValueError):
+        parse_pages_set(",".join(toks))
+
+
+# --- explode_spans page-set selection: seeded sweep on Spark ------------
+# The round-3 prefix-scan rewrite (operators/explode.py:_media_prefix_
+# counts + the CollapseProject note) is subtle; this pins its two
+# reference invariants over randomized span arrays:
+#   * skip-before-decode: a media span survives iff its 0-based ordinal
+#     among the doc's ORIGINAL media spans (offset order) is in the page
+#     set — exactly the reference skipping frames before decode
+#     (tesseract-recognize.cc:470-471,497-498);
+#   * renumber-consecutive: survivors' media_idx is 1..n_media in offset
+#     order, like the reference's page registration.
+
+def _random_docs(rnd, n_docs):
+    docs = []
+    for d in range(n_docs):
+        n = rnd.randint(0, 12)
+        offsets = list(range(n))
+        rnd.shuffle(offsets)  # array order must not matter (array_sort)
+        spans = []
+        for i in range(n):
+            if rnd.random() < 0.45:
+                spans.append(("media", None, f"media://d{d}/{i}", offsets[i]))
+            else:
+                spans.append(("text", f"t{d}-{i} ", None, offsets[i]))
+        docs.append((str(d), spans))
+    return docs
+
+
+def _expected(spans, pages):
+    """Pure-Python model of explode_spans(page set)."""
+    ordered = sorted(spans, key=lambda s: s[3])
+    media_ord = {}
+    k = 0
+    for s in ordered:
+        if s[0] == "media":
+            media_ord[s[3]] = k
+            k += 1
+    kept = [s for s in ordered
+            if s[0] != "media" or media_ord[s[3]] in pages]
+    rows, m = [], 0
+    for s in kept:
+        if s[0] == "media":
+            m += 1
+        rows.append((s[3], s[0], s[2], m if s[0] == "media" else m))
+    n_media = m
+    return [(off, kind, ref, idx, n_media)
+            for (off, kind, ref, idx) in rows]
+
+
+@pytest.mark.spark
+def test_explode_spans_pageset_seeded_sweep(spark):
+    import random
+
+    from pyspark.sql import types as T_
+
+    from tesseract_recognize_spark.operators.explode import explode_spans
+
+    schema = T_.StructType([
+        T_.StructField("doc_id", T_.StringType()),
+        T_.StructField("spans", T_.ArrayType(T_.StructType([
+            T_.StructField("kind", T_.StringType()),
+            T_.StructField("text", T_.StringType()),
+            T_.StructField("media_ref", T_.StringType()),
+            T_.StructField("offset", T_.IntegerType()),
+        ]))),
+    ])
+    rnd = random.Random(20260817)
+    docs = _random_docs(rnd, 60)
+    df = spark.createDataFrame(docs, schema)
+    for spec in ("", "0", "0-2,5", "1,3-4,9-11", "7-40", "0-99"):
+        pages = parse_pages_set(spec)
+        got = {}
+        for r in explode_spans(df, pages=pages).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["offset"], r["kind"], r["media_ref"], r["media_idx"],
+                 r["n_media"])
+            )
+        for doc_id, spans in docs:
+            exp = _expected(spans, pages)
+            have = sorted(got.get(doc_id, []))
+            assert have == sorted(exp), (spec, doc_id)
+            # renumber-consecutive: survivors' media_idx == 1..n_media
+            midx = [r[3] for r in sorted(have) if r[1] == "media"]
+            assert midx == list(range(1, len(midx) + 1)), (spec, doc_id)
