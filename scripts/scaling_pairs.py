@@ -38,6 +38,39 @@ def loadavg1() -> float:
         return float(f.read().split()[0])
 
 
+def run_child_sampled(cores: int, path: str, runs: int) -> dict:
+    """run_child plus a 5s loadavg sampler DURING the leg.
+
+    Background load is structurally ASYMMETRIC between the levels: L
+    phantom-busy cores leave an 8-core leg untouched while L ≤ 24 cores
+    are free, but cost a 32-core leg ~L/32 of its throughput. A pair is
+    therefore only same-regime in the sense the estimator needs when BOTH
+    legs ran on a near-idle host; the in-leg load trace is what lets the
+    report select those pairs on evidence instead of launch-time luck.
+    """
+    import threading
+
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            samples.append(loadavg1())
+            stop.wait(5)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        rec = run_child(cores, path, runs)
+    finally:
+        stop.set()
+        t.join(timeout=1)
+    rec["load_trace"] = [round(s, 1) for s in samples]
+    rec["load_mean"] = round(sum(samples) / max(len(samples), 1), 2)
+    rec["load_max"] = round(max(samples, default=0.0), 1)
+    return rec
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=40000)
@@ -65,7 +98,7 @@ def main() -> None:
         for cores in order:
             print(f"pair {i}: launching local[{cores}] "
                   f"(load {loadavg1():.1f})", flush=True)
-            legs[cores] = run_child(cores, path, args.runs)
+            legs[cores] = run_child_sampled(cores, path, args.runs)
         w_n = min(legs[args.n]["all_runs_sec"])
         w_xn = min(legs[args.xn]["all_runs_sec"])
         eff = (args.docs / w_xn) / (args.docs / w_n) / factor
@@ -80,6 +113,16 @@ def main() -> None:
             f"runs_{args.xn}": legs[args.xn]["all_runs_sec"],
             f"min_{args.n}": w_n,
             f"min_{args.xn}": w_xn,
+            # background-load estimate per leg: in-leg 1-min loadavg mean
+            # minus the leg's own core count (≈0 on a clean host)
+            f"bg_load_{args.n}": round(
+                max(legs[args.n].get("load_mean", 0) - args.n, 0), 1
+            ),
+            f"bg_load_{args.xn}": round(
+                max(legs[args.xn].get("load_mean", 0) - args.xn, 0), 1
+            ),
+            f"load_trace_{args.n}": legs[args.n].get("load_trace"),
+            f"load_trace_{args.xn}": legs[args.xn].get("load_trace"),
             "efficiency": round(eff, 3),
         }
         os.makedirs(os.path.dirname(args.ledger), exist_ok=True)

@@ -4,10 +4,11 @@ uncompressed BMP, plus container sniffing.
 The reference decodes any raster Leptonica knows via `pixRead`
 (tesseract-recognize.cc:513-531); this container ships no image
 libraries, so the formats that ARE stdlib-decodable get real decoders
-(PNG in functions/png.py; netpbm and BI_RGB BMP here, from the public
-netpbm man pages and the Windows BMP file-format spec) and everything
-else (JPEG, TIFF-with-compression, ...) stays behind the injectable-codec
-seam in operators/multimodal.py.
+(PNG in functions/png.py; netpbm, BI_RGB BMP and uncompressed baseline
+TIFF here, from the public netpbm man pages, the Windows BMP file-format
+spec and the TIFF 6.0 specification) and everything else (JPEG,
+TIFF-with-compression, ...) stays behind the injectable-codec seam in
+operators/multimodal.py.
 
 All decoders raise ValueError on malformed or unsupported input — never
 struct.error/IndexError — so the quarantine path upstream can key on one
@@ -27,6 +28,8 @@ __all__ = [
     "ppm_encode",
     "bmp_decode",
     "bmp_encode",
+    "tiff_decode",
+    "tiff_encode",
     "sniff_mime",
     "decode_image",
 ]
@@ -154,6 +157,136 @@ def bmp_encode(img: np.ndarray) -> bytes:
     return file_hdr + info + body
 
 
+# TIFF 6.0 baseline, uncompressed: tag ids this decoder consumes
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_values(data, endian, vtype, count, raw) -> list[int]:
+    size = _TIFF_TYPE_SIZE.get(vtype)
+    if size is None:
+        raise ValueError(f"unsupported TIFF field type {vtype}")
+    fmt = {1: "B", 3: "H", 4: "I"}[vtype]
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", raw)
+        buf = data[off : off + total]
+        if len(buf) != total:
+            raise ValueError("TIFF value block truncated")
+    return list(struct.unpack(f"{endian}{count}{fmt}", buf))
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Uncompressed baseline TIFF bytes → uint8 ndarray: (h, w) gray or
+    (h, w, spp). Both byte orders; strips concatenated; photometric 0
+    (WhiteIsZero) inverted to the usual BlackIsZero convention, as
+    Leptonica's read path does. Compressed TIFF raises ValueError (needs
+    an injected codec)."""
+    try:
+        if data[:4] == b"II*\x00":
+            endian = "<"
+        elif data[:4] == b"MM\x00*":
+            endian = ">"
+        else:
+            raise ValueError("not a TIFF stream (bad byte-order mark)")
+        (ifd_off,) = struct.unpack(endian + "I", data[4:8])
+        if ifd_off + 2 > len(data):
+            raise ValueError("TIFF IFD offset out of range")
+        (n_entries,) = struct.unpack(endian + "H", data[ifd_off : ifd_off + 2])
+        tags: dict[str, list[int]] = {}
+        for i in range(n_entries):
+            e = ifd_off + 2 + 12 * i
+            if e + 12 > len(data):
+                raise ValueError("TIFF IFD truncated")
+            tag, vtype, count = struct.unpack(endian + "HHI", data[e : e + 8])
+            name = _TIFF_TAGS.get(tag)
+            if name:
+                tags[name] = _tiff_values(
+                    data, endian, vtype, count, data[e + 8 : e + 12]
+                )
+        for req in ("width", "height", "strip_offsets", "strip_counts"):
+            if req not in tags:
+                raise ValueError(f"TIFF missing required tag {req}")
+        comp = tags.get("compression", [1])[0]
+        if comp != 1:
+            raise ValueError(
+                f"unsupported TIFF compression {comp} (only uncompressed; "
+                "inject a codec for LZW/JPEG/deflate)"
+            )
+        w, h = tags["width"][0], tags["height"][0]
+        spp = tags.get("spp", [1])[0]
+        bits = tags.get("bits", [8])
+        if any(b != 8 for b in bits):
+            raise ValueError(f"unsupported TIFF bits-per-sample {bits}")
+        photometric = tags.get("photometric", [1])[0]
+        if photometric not in (0, 1, 2):
+            raise ValueError(f"unsupported TIFF photometric {photometric}")
+        raster = bytearray()
+        for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+            chunk = data[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF strip truncated")
+            raster += chunk
+        need = w * h * spp
+        if len(raster) < need:
+            raise ValueError("TIFF raster data truncated")
+        arr = np.frombuffer(bytes(raster[:need]), dtype=np.uint8)
+        img = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+        if photometric == 0:
+            img = 255 - img
+        return img
+    except struct.error as e:
+        raise ValueError(f"malformed TIFF stream: {e}") from e
+
+
+def tiff_encode(img: np.ndarray) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → little-endian uncompressed
+    single-strip baseline TIFF (tests/fixtures)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w, spp, photometric = *arr.shape, 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w, spp, photometric = *arr.shape[:2], 3, 2
+    else:
+        raise ValueError("tiff_encode wants (h,w) gray or (h,w,3) RGB")
+    body = arr.tobytes()
+    # layout: header(8) | IFD | bits values (if rgb) | strip data
+    entries = []  # (tag, type, count, value)
+    n_entries = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    bits_off = 8 + ifd_size
+    bits_extra = 2 * 3 if spp == 3 else 0
+    strip_off = bits_off + bits_extra
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, spp, bits_off if spp == 3 else 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, photometric),
+        (273, 4, 1, strip_off),
+        (277, 3, 1, spp),
+        (279, 4, 1, len(body)),
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n_entries)
+    for tag, vtype, count, value in entries:
+        out += struct.pack("<HHI", tag, vtype, count)
+        out += struct.pack("<I", value) if vtype == 4 else struct.pack(
+            "<HH", value, 0
+        )
+    out += struct.pack("<I", 0)  # next-IFD terminator
+    if spp == 3:
+        out += struct.pack("<3H", 8, 8, 8)
+    out += body
+    return bytes(out)
+
+
 def sniff_mime(payload: bytes) -> str | None:
     """Container detection by magic bytes; None when unrecognized."""
     if payload[:8] == PNG_SIGNATURE:
@@ -164,14 +297,17 @@ def sniff_mime(payload: bytes) -> str | None:
         return "image/x-portable-pixmap"
     if payload[:2] == b"BM":
         return "image/bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     if payload[:4] == b"IMG1":
         return "image/x-synthetic"
     return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Default codec chain: PNG → netpbm → BMP; ValueError otherwise
-    (JPEG/TIFF/... need an injected codec in this container)."""
+    """Default codec chain: PNG → netpbm → BMP → uncompressed TIFF;
+    ValueError otherwise (JPEG, compressed TIFF, ... need an injected
+    codec in this container)."""
     mime = sniff_mime(payload)
     if mime == "image/png":
         return png_decode(payload)
@@ -179,8 +315,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return ppm_decode(payload)
     if mime == "image/bmp":
         return bmp_decode(payload)
+    if mime == "image/tiff":
+        return tiff_decode(payload)
     raise ValueError(
         "no stdlib codec for payload (supported: PNG, binary PPM/PGM, "
-        "uncompressed BMP); inject one (e.g. PIL.Image.open) or use "
-        "fake_codec"
+        "uncompressed BMP, uncompressed TIFF); inject one (e.g. "
+        "PIL.Image.open) or use fake_codec"
     )

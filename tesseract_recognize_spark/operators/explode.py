@@ -61,12 +61,15 @@ def parse_pages_set(spec: str) -> frozenset[int]:
 
 
 def _in_set(col: Column, values: frozenset[int]) -> Column:
-    # ==-OR fold: Column.isin does not accept lambda-bound variables inside
-    # higher-order functions
-    out = F.lit(False)
-    for v in sorted(values):
-        out = out | (col == F.lit(v))
-    return out
+    # Column.isin does not accept lambda-bound variables inside
+    # higher-order functions; array_contains against a constant-folded
+    # literal array does, and stays one expression however large the
+    # page set gets (the ==-OR fold it replaces built a linear chain)
+    if not values:
+        return F.lit(False)
+    return F.array_contains(
+        F.array(*[F.lit(v) for v in sorted(values)]), col
+    )
 
 
 def _media_prefix_counts(spans: Column) -> Column:

@@ -83,6 +83,22 @@ def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
     return out
 
 
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled dot product as ONE SQL fragment over column NAMES.
+
+    Semantically identical to ``dot_product(col(a), col(b), dim)`` —
+    same element order, same left-to-right addition — but built as a
+    single string: the Column-object form issues ~3·dim py4j calls per
+    dot, which put >10s of pure driver-side expression construction into
+    every ANN query (measured; the multi-table query builds 16 unrolled
+    projections + norms + the pair dot). One ``F.expr`` string is one
+    py4j call and parses JVM-side in milliseconds."""
+    return "(" + " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
 def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two array<double> columns."""
     dot = dot_product(a, b, dim)
@@ -109,14 +125,20 @@ def brute_force_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    base = base.withColumn(
-        "norm", F.sqrt(dot_product(F.col("v"), F.col("v"), dim))
+    norm = (
+        F.expr(f"sqrt({_dot_sql('v', 'v', dim)})")
+        if dim
+        else F.sqrt(dot_product(F.col("v"), F.col("v"), dim))
     )
+    base = base.withColumn("norm", norm)
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
-    sim = dot_product(F.col("q.v"), F.col("c.v"), dim) / (
-        F.col("q.norm") * F.col("c.norm")
+    pair_dot = (
+        F.expr(_dot_sql("q.v", "c.v", dim))
+        if dim
+        else dot_product(F.col("q.v"), F.col("c.v"), dim)
     )
+    sim = pair_dot / (F.col("q.norm") * F.col("c.norm"))
     # broadcast the SMALL query set against the streamed corpus — at 10^9+
     # corpus vectors the other direction is an executor OOM
     pairs = F.broadcast(q).join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
@@ -139,23 +161,23 @@ def lsh_signs(b: int, dim: int, table: int = 0) -> list[int]:
     ]
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
+def lsh_bucket(vec: str, dim: int, bits: int = 8, table: int = 0) -> Column:
     """Sign-random-projection bucket id: Σ_b 2^b · [⟨v, h_b⟩ > 0].
 
-    Each projection is the UNROLLED codegen dot product against a literal
-    ±1 array (constant-folded) — no interpreted higher-order lambdas in
-    what is a per-vector hot path."""
+    ``vec`` is the COLUMN NAME of the array<double> vector. Each
+    projection is the UNROLLED codegen dot product against inline ±1
+    literals — no interpreted higher-order lambdas in what is a
+    per-vector hot path — assembled as one SQL string (see _dot_sql for
+    why: the Column-object form cost ~10s of py4j round trips per ANN
+    query at bits=8, dim=64, two tables)."""
     terms = []
     for b in range(bits):
-        signs = F.array(*[F.lit(float(s)) for s in lsh_signs(b, dim, table)])
-        proj = dot_product(vec, signs, dim)
-        terms.append(
-            F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        proj = " + ".join(
+            f"element_at({vec}, {d + 1}) * {float(s)}"
+            for d, s in enumerate(lsh_signs(b, dim, table))
         )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_topk(
@@ -185,26 +207,37 @@ def lsh_topk(
         )
         # buckets AND norm computed once per vector, pre-join — the join
         # hot loop is then a single unrolled dot product + one divide
-        .withColumn("norm", F.sqrt(dot_product(F.col("v"), F.col("v"), dim)))
+        .withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
     )
     if n_tables == 1:
-        base = base.withColumn("bucket", lsh_bucket(F.col("v"), dim, bits))
+        base = base.withColumn("bucket", lsh_bucket("v", dim, bits))
         join_keys = [("bucket", "bucket")]
     else:
         base = base.withColumn(
             "_bks",
             F.array(
-                *[lsh_bucket(F.col("v"), dim, bits, t)
-                  for t in range(n_tables)]
+                *[lsh_bucket("v", dim, bits, t) for t in range(n_tables)]
             ),
         ).select(
             "vec_id", "v", "norm",
             F.posexplode("_bks").alias("tbl", "bucket"),
         )
         join_keys = [("tbl", "tbl"), ("bucket", "bucket")]
+    # The bucketed+normed projection is a ~4k-node expression tree feeding
+    # BOTH sides of the self-join. Unpersisted, Catalyst re-optimizes and
+    # re-compiles it per side per AQE stage (measured ~10s of fixed plan
+    # cost per execution at ANY data size) and the projection itself runs
+    # twice. Persisted, the downstream plan sees a small InMemoryRelation
+    # leaf and the projection runs once. Footprint is the vector table +
+    # (norm, buckets) — MEMORY_AND_DISK spills gracefully; the caller owns
+    # cleanup in long-lived sessions (spark.catalog.clearCache(), as
+    # bench.py does between passes), mirroring dedup's signature table.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
-    sim = dot_product(F.col("q.v"), F.col("c.v"), dim) / (
+    sim = F.expr(_dot_sql("q.v", "c.v", dim)) / (
         F.col("q.norm") * F.col("c.norm")
     )
     cond = F.col("q.vec_id") != F.col("c.vec_id")

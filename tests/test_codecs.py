@@ -141,3 +141,83 @@ def test_cross_codec_pixel_equality():
     b = ppm_decode(ppm_encode(rgb))
     c = bmp_decode(bmp_encode(rgb))
     assert np.array_equal(a, b) and np.array_equal(b, c)
+
+
+def test_tiff_roundtrip_gray_and_rgb():
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    for img in (_gray(), _rgb()):
+        out = tiff_decode(tiff_encode(img))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img)
+
+
+def test_tiff_big_endian_and_multistrip():
+    from tesseract_recognize_spark.functions.codecs import tiff_decode
+
+    # hand-built MM (big-endian) 2x3 gray, two strips of one/two rows
+    px = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    strip1, strip2 = px[0].tobytes(), px[1].tobytes()
+    entries = [
+        (256, 4, 1, 3), (257, 4, 1, 2), (258, 3, 1, 8 << 16),
+        (259, 3, 1, 1 << 16), (262, 3, 1, 1 << 16),
+        (277, 3, 1, 1 << 16), (278, 4, 1, 1),
+    ]
+    # strip offsets/counts need value blocks (2 LONGs each > 4 bytes)
+    n = len(entries) + 2
+    ifd_off = 8
+    blocks_off = ifd_off + 2 + 12 * n + 4
+    data_off = blocks_off + 16
+    entries.insert(5, (273, 4, 2, blocks_off))
+    entries.append((279, 4, 2, blocks_off + 8))
+    entries.sort()
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off))
+    out += struct.pack(">H", n)
+    for tag, vtype, count, value in entries:
+        out += struct.pack(">HHII", tag, vtype, count, value)
+    out += struct.pack(">I", 0)
+    out += struct.pack(">II", data_off, data_off + 3)      # strip offsets
+    out += struct.pack(">II", 3, 3)                        # strip counts
+    out += strip1 + strip2
+    assert np.array_equal(tiff_decode(bytes(out)), px)
+
+
+def test_tiff_photometric_zero_inverted():
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    img = _gray(3, 3)
+    data = bytearray(tiff_encode(img))
+    # flip photometric tag (262) value 1 -> 0 (WhiteIsZero)
+    i = data.index(struct.pack("<HH", 262, 3))
+    struct.pack_into("<HH", data, i + 8, 0, 0)
+    assert np.array_equal(tiff_decode(bytes(data)), 255 - img)
+
+
+def test_tiff_malformed_raises_valueerror():
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    good = tiff_encode(_gray(3, 3))
+    lzw = bytearray(good)
+    i = lzw.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<HH", lzw, i + 8, 5, 0)  # compression=LZW
+    for data in (b"II*\x00" + b"\xff" * 4, good[:30], bytes(lzw),
+                 good[:-4], b"XX*\x00"):
+        with pytest.raises(ValueError):
+            tiff_decode(data)
+
+
+def test_tiff_in_sniff_and_chain():
+    from tesseract_recognize_spark.functions.codecs import tiff_encode
+
+    payload = tiff_encode(_rgb())
+    assert sniff_mime(payload) == "image/tiff"
+    assert decode_image(payload).shape == _rgb().shape
