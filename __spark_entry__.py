@@ -39,6 +39,7 @@ from tesseract_recognize_spark.operators.textstats import (
 )
 from tesseract_recognize_spark.operators.explode import explode_spans
 from tesseract_recognize_spark.operators.multimodal import (
+    decode_audio_features,
     decode_image_features,
     frame_sample,
 )
@@ -361,6 +362,91 @@ def q_ann_lsh_mt_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF-style ANN: deterministic sampled centroids, rank-1 cell
+    # assignment, nprobe-cell probe + exact re-rank
+    # (operators/similarity.py:ivf_topk)
+    from tesseract_recognize_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, dim=64, k=5, nprobe=3, centroid_stride=53, n_queries=50
+    )
+    return out.select(
+        "vec_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id"
+    )
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    # REAL audio decode path: synthesize a deterministic 1024-sample PCM
+    # WAV per document executor-side (pure-stdlib encoder, functions/
+    # wav.py), decode through the default codec, window into 4×256-sample
+    # sum-of-|sample| features. All-integer arithmetic, so the whole
+    # decode pipeline sits under the DuckDB hash gate — the audio analog
+    # of multimodal_image_features.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tesseract_recognize_spark.functions.wav import wav_encode
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for d in pdf["doc_id"]:
+                v = int(d) % 200
+                i = np.arange(1024, dtype=np.int64)
+                s = ((i * 7 + v) % 256 - 128).astype(np.int16)
+                refs.append(f"media://doc-{int(d)}/wav")
+                payloads.append(wav_encode(s, 16000))
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_ref string, payload binary")
+    out = decode_audio_features(media, window=256)
+    return out.select(
+        "media_ref",
+        "mime",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.posexplode("features").alias("k", "feat"),
+    ).select(
+        "media_ref", "mime", "sample_rate", "n_channels", "n_samples",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("feat").cast("bigint").alias("feat"),
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    # embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
+    # cosine threshold verify — the dedup-flavored sibling of ann_lsh_topk
+    # (operators/similarity.py:embedding_cosine_pairs; the oracle mirrors
+    # the bucket constants exactly). The synthetic embeddings are
+    # isotropic (max natural cosine ≈ 0.51), so the corpus is salted with
+    # deterministic duplicates — every 10th vector re-enters under
+    # vec_id+100000 — and the query must recover exactly those pairs
+    # through the bucket join + exact verify (identical vectors share
+    # every bucket by construction).
+    from tesseract_recognize_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = embedding_cosine_pairs(
+        emb.unionByName(dups), dim=64, threshold=0.9, bits=8
+    )
+    return out.select(
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "trim_normalize": q_trim_normalize,
@@ -385,6 +471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 
@@ -553,6 +642,90 @@ SELECT vec_id, rank, neighbor_id FROM (
                             ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM pairs
 ) WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_oracle(
+    dim: int = 64, k: int = 5, nprobe: int = 3, stride: int = 53,
+    n_queries: int = 50,
+) -> str:
+    """DuckDB oracle for ivf_topk: same centroid rule (vec_id % stride),
+    same rank-1 cell assignment (cosine desc, c_id asc), same
+    nprobe-cell probe + exact re-rank. list_dot_product matches Spark's
+    unrolled left-to-right dot bit-for-bit (see _ann_lsh_oracle)."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base
+),
+cent AS (
+  SELECT vec_id AS c_id, v AS cv, norm AS cnorm
+  FROM n WHERE vec_id % {stride} = 0
+),
+scored AS (
+  SELECT n.vec_id, n.v, n.norm, c.c_id,
+         row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.cv) / (n.norm * c.cnorm)
+                      DESC, c.c_id ASC
+         ) AS rn
+  FROM n CROSS JOIN cent c
+),
+corpus AS (
+  SELECT vec_id, v, norm, c_id AS cell FROM scored WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, v, norm, c_id AS cell
+  FROM scored WHERE rn <= {nprobe} AND vec_id < {n_queries}
+),
+pairs AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS sim
+  FROM probes q JOIN corpus c
+    ON q.cell = c.cell AND q.vec_id != c.vec_id
+)
+SELECT vec_id, rank, neighbor_id FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def _emb_cosine_oracle(
+    dim: int = 64, threshold: float = 0.9, bits: int = 8
+) -> str:
+    """DuckDB oracle for embedding_cosine_pairs: same md5-derived
+    hyperplane constants, same bucket equi-join, same left-to-right
+    cosine (list_dot_product)."""
+    from tesseract_recognize_spark.operators.similarity import lsh_signs
+
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{s}]) > 0 THEN {p} ELSE 0 END)"
+        .format(
+            s=", ".join(f"{float(x)}" for x in lsh_signs(b, dim)),
+            p=1 << b,
+        )
+        for b in range(bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+bk AS (
+  SELECT vec_id, v,
+         sqrt(list_dot_product(v, v)) AS norm,
+         ({bucket}) AS bucket
+  FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM bk a JOIN bk b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= {threshold}
 """
 
 
@@ -738,6 +911,25 @@ FROM documents WHERE doc_id % 6 = 0
         "ann_lsh_mt_topk": _ann_lsh_oracle(
             dim=64, k=5, bits=8, n_queries=50, n_tables=2
         ),
+        "ann_ivf_topk": _ann_ivf_oracle(
+            dim=64, k=5, nprobe=3, stride=53, n_queries=50
+        ),
+        "dedup_embedding_cosine": _emb_cosine_oracle(
+            dim=64, threshold=0.9, bits=8
+        ),
+        "multimodal_audio_features": """
+SELECT concat('media://doc-', doc_id, '/wav') AS media_ref,
+       'audio/x-wav' AS mime,
+       16000::BIGINT AS sample_rate,
+       1::BIGINT AS n_channels,
+       1024::BIGINT AS n_samples,
+       k::BIGINT AS k,
+       list_sum(list_transform(range(256),
+           j -> abs((((k * 256 + j) * 7 + doc_id % 200) % 256) - 128)
+       ))::BIGINT AS feat
+FROM documents
+CROSS JOIN (SELECT unnest(range(4)) AS k)
+""",
         "extract_full": _extract_full_oracle(),
         "extract_region_crops": _golden_oracle(GOLDEN_EXTRACT_CROPS),
         "page_set_select": """

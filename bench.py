@@ -46,10 +46,13 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_mt_topk",
+    "ann_ivf_topk",
     "multimodal_image_features",
+    "multimodal_audio_features",
     "multimodal_frame_sample",
     "media_reconcile",
     "langid",

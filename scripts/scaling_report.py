@@ -1,181 +1,264 @@
-"""Render BENCH/BASELINE.md from the accumulated scaling ledger.
+"""Render BENCH/BASELINE.md — the north-rule scaling evidence file.
 
-Reads /tmp/spark_graft_scaling/ledger.jsonl (written by
-_scaling_accumulate.py / seeded from scaling_bench.py pairs), computes the
-per-level minima and medians across ALL recorded runs, and writes the
-north-rule evidence file.
+Round-4 structure: the HEADLINE estimator is the same-regime pair
+distribution (scripts/scaling_pairs.py: back-to-back local[N]/local[4N]
+legs, alternating order, in-leg loadavg traces), reported raw alongside
+the same-day Spark-free host-physics ceiling (scripts/
+cpu_inflation_probe.py) and the corrected estimate WITH its assumptions
+stated — per the round-3 advisor: corrected figures are estimates, not
+raw target clears. Historical cross-session floors are kept as context.
 
-    python scripts/scaling_report.py [--docs 40000] [--n 8] [--xn 32]
+    python scripts/scaling_report.py
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 
-LEDGER = "/tmp/spark_graft_scaling/ledger.jsonl"
+PAIRS_LEDGER = "BENCH/pairs_ledger_r04.jsonl"
+LOCKSTEP_LEDGER = "BENCH/lockstep_ledger_r04.jsonl"
+PROBE = "BENCH/cpu_inflation_probe.json"
+
+# historical cross-session floors (earlier rounds' ledgers, recorded in
+# git history of this file): {round: (min8, min32, n_runs8, n_runs32)}
+HISTORY = {
+    "r2 (70 gated runs, quiet host day)": (77.3, 25.8, 22, 48),
+    "r3 (9 sessions, storms mid-run)": (68.89, 30.63, 18, 36),
+}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=40000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--xn", type=int, default=32)
-    ap.add_argument("--ledger", default=LEDGER)
+    ap.add_argument("--pairs-ledger", default=PAIRS_LEDGER)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
-    runs: dict[int, list[float]] = {args.n: [], args.xn: []}
-    sessions: dict[int, int] = {args.n: 0, args.xn: 0}
-    with open(args.ledger) as f:
+    n, xn = args.n, args.xn
+    factor = xn / n
+
+    pairs = []
+    with open(args.pairs_ledger) as f:
         for ln in f:
-            r = json.loads(ln)
-            if r["docs"] != args.docs or r["cores"] not in runs:
-                continue
-            runs[r["cores"]].extend(r["all_runs_sec"])
-            sessions[r["cores"]] += 1
-    mins = {c: min(v) for c, v in runs.items()}
-    meds = {c: sorted(v)[len(v) // 2] for c, v in runs.items()}
-    tp = {c: args.docs / mins[c] for c in runs}
-    factor = args.xn / args.n
-    eff = (tp[args.xn] / tp[args.n]) / factor
-    med_eff = (
-        (args.docs / meds[args.xn]) / (args.docs / meds[args.n])
-    ) / factor
-    probe = None
+            pairs.append(json.loads(ln))
+    locksteps = []
     try:
-        with open("BENCH/cpu_inflation_probe.json") as pf:
-            probe = json.load(pf)
+        with open(LOCKSTEP_LEDGER) as f:
+            for ln in f:
+                locksteps.append(json.loads(ln))
     except OSError:
         pass
-    with open(args.out, "w") as f:
-        f.write(f"""# BENCH baseline — two-parallelism scaling evidence
+    with open(PROBE) as f:
+        probe = json.load(f)
+    ratios = [r["per_core_ratio_8_to_32"] for r in probe["runs"]]
+    r_lo, r_hi = min(ratios), max(ratios)
+    curve = probe["control_curve"]["per_core_vs_single"]
 
-North-rule evidence: the identical end-to-end extraction job (explode →
-native normalize → Arrow mock-OCR → native post-passes T1/T3/P1/P3/P2 →
-order window → sink) on the identical deterministic {args.docs:,}-document
-corpus (seed 42, FIXTURES.md shape incl. the 1% media-heavy skew tail,
-written as 128 parquet part files — one small file would be a single input
-split at any core count), at local[{args.n}] vs local[{args.xn}] — the
-sandbox stand-in for N- vs 4N-executor clusters.
+    # headline median: pairs measured WITH in-leg load traces (the first
+    # three ledger records are pre-trace pilot pairs whose 32-core legs
+    # overlapped concurrent dev sessions; they stay in the table, flagged)
+    traced = [p for p in pairs if p.get(f"load_trace_{xn}") is not None]
+    effs = [p["efficiency"] for p in (traced or pairs)]
+    med = statistics.median(effs)
+    # clean pairs: both legs' background-load estimate under 2 cores
+    clean = [
+        p for p in pairs
+        if p.get(f"bg_load_{n}") is not None
+        and p[f"bg_load_{n}"] < 2 and p[f"bg_load_{xn}"] < 2
+    ]
+    med_clean = statistics.median(
+        [p["efficiency"] for p in clean]
+    ) if clean else None
+    floor8 = min(p[f"min_{n}"] for p in pairs)
+    floor32 = min(p[f"min_{xn}"] for p in pairs)
+    eff_floor = floor8 / (factor * floor32)
+    corrected = med / r_hi  # least correction = conservative
 
-Methodology: fresh JVM per measurement session; each session runs the job
-{'+'.join(str(s) for s in set(sessions.values()))}× after JIT warm-up;
-tmpfs shuffle dirs; ParallelGC; 48g heap. This host shows BURSTY PHANTOM
-LOAD (identical runs vary 2-4× with loadavg spikes from outside the
-sandbox), so sessions are additionally loadavg-gated
-(scripts/_scaling_accumulate.py) and the statistic is the MINIMUM over all
-recorded runs per level — the standard noisy-shared-host estimator. Ledger:
-{sum(sessions.values())} sessions, {len(runs[args.n])}+{len(runs[args.xn])}
-runs.
+    rows = []
+    for p in pairs:
+        bg8 = p.get(f"bg_load_{n}")
+        bg32 = p.get(f"bg_load_{xn}")
+        bg = "—" if bg8 is None else f"{bg8:.1f} / {bg32:.1f}"
+        rows.append(
+            f"| {p['pair']} | {'→'.join(str(c) for c in p['order'])} "
+            f"| {p[f'min_{n}']:.1f} | {p[f'min_{xn}']:.1f} "
+            f"| {bg} | **{p['efficiency']:.3f}** |"
+        )
+    hist_rows = []
+    for name, (m8, m32, k8, k32) in HISTORY.items():
+        e = m8 / (factor * m32)
+        hist_rows.append(
+            f"| {name} | {m8:.1f} | {m32:.1f} | {k8}+{k32} | {e:.3f} |"
+        )
 
-| config | docs | min wall (s) | docs/sec | median wall (s) | runs |
+    out = f"""# BENCH baseline — two-parallelism scaling evidence (round 4)
+
+North rule: throughput scaling efficiency ≥ 0.8 between N- and
+4N-executor clusters. Sandbox stand-in: the identical end-to-end
+extraction job (explode → native normalize → Arrow mock-OCR → native
+post-passes T1/T3/P1/P3/P2 → order window → sink) on the identical
+deterministic 40,000-document corpus (seed 42, FIXTURES.md shape incl.
+the 1% media-heavy skew tail, 128 parquet part files), at local[{n}] vs
+local[{xn}], fresh JVM per leg, {pairs[0].get('runs_8') and len(pairs[-1]['runs_8']) or 6} runs per leg
+(min taken — JIT C2 compiles over the first runs), tmpfs shuffle dirs,
+ParallelGC, 48g heap.
+
+## Headline: same-regime pairs (round-4 replication)
+
+Each pair runs its two legs BACK-TO-BACK (order alternating) so both
+share one noise regime; a 5s loadavg trace runs during each leg and the
+background-load estimate is (in-leg 1-min loadavg mean − leg cores).
+eff = min_wall@{n} / ({factor:.0f} · min_wall@{xn}).
+
+| pair | order | min@{n} (s) | min@{xn} (s) | bg load {n}/{xn} | raw eff |
 |---|---|---|---|---|---|
-| local[{args.n}] | {args.docs:,} | {mins[args.n]:.2f} | {tp[args.n]:.1f} | {meds[args.n]:.2f} | {len(runs[args.n])} |
-| local[{args.xn}] | {args.docs:,} | {mins[args.xn]:.2f} | {tp[args.xn]:.1f} | {meds[args.xn]:.2f} | {len(runs[args.xn])} |
+{chr(10).join(rows)}
 
-**Scaling efficiency (minima)** = ({tp[args.xn]:.1f} / {tp[args.n]:.1f}) / {factor:.0f}
-= **{eff:.3f}** (target ≥ 0.8). Median-based: {med_eff:.3f} (medians are
-noise-inflated on this host; minima are the signal).
+**Instrument caveat (measured, round 4):** the in-leg load trace guards
+against SANDBOX-LOCAL contamination only. The dominant noise source is
+hypervisor co-tenancy INVISIBLE to the guest: during a leg running 54%
+over its floor, guest loadavg read clean, `/proc/stat` steal stayed
+≈0.2%, cgroup throttling was zero, and the Spark JVM was charged ~7.7
+cores/s of SYSTEM time with zero I/O, zero major faults and 54 context
+switches/s — kernel-work-free accounting that is only consistent with
+host-side CPU preemption being mis-charged to the guest process. No
+guest-side gate can filter this; the defense is the min-over-runs
+estimator, which the pairs apply per leg (6 runs each).
 
-## Per-run ledger
+Pairs without a bg-load column are pre-trace pilot runs whose
+local[{xn}] legs overlapped concurrent development sessions on this
+host — kept for the record, excluded from the headline median.
 
-""")
-        for c in (args.n, args.xn):
-            f.write(f"- local[{c}]: " + ", ".join(
-                f"{w:.1f}" for w in sorted(runs[c])) + "\n")
-        corrected = None
-        if probe:
-            ratios = [r["per_core_ratio_8_to_32"] for r in probe["runs"]]
-            r_cons = max(ratios)  # least correction = conservative
-            corrected = eff / r_cons
-            curve = probe["control_curve"]["per_core_vs_single"]
-            f.write(f"""
-## Host-physics decomposition (round 3)
+**Median raw efficiency over {len(effs)} traced pairs: {med:.3f}**"""
+    if med_clean is not None:
+        out += f""" (clean-host
+pairs only — both legs' background load < 2 cores: **{med_clean:.3f}**
+over {len(clean)} pairs)"""
+    out += f""".
+Session floors: {floor8:.1f}s @{n} / {floor32:.1f}s @{xn} → {eff_floor:.3f}.
+"""
+    if locksteps:
+        ls_rows = []
+        for s in locksteps:
+            ecm = (f"{s['eff_clean_median']:.3f}"
+                   if s.get("eff_clean_median") is not None else "—")
+            ls_rows.append(
+                f"| {s['docs']:,} | {s['cycles']} | {s[f'min_{n}']:.1f} "
+                f"| {s[f'min_{xn}']:.1f} | {s['eff_min']:.3f} "
+                f"| {s['eff_median']:.3f} | {s['clean_cycles']} | {ecm} |"
+            )
+        out += f"""
+## Run-level lockstep interleave (finest same-regime granularity)
 
-The residual gap vs 1.0 is NOT framework overhead. A Spark-free probe
-(`scripts/cpu_inflation_probe.py`: plain `multiprocessing.Pool` workers
-running the IDENTICAL per-page loop — render → decode → emit — no
-shuffle, no JVM, no Arrow) measures per-core Python throughput by
-resident worker count on this host:
+`scripts/lockstep_pairs.py`: two PERSISTENT sessions (local[{n}],
+local[{xn}], warmed past C2 compilation) alternate SINGLE measured
+passes seconds apart, so storm windows (multi-minute, per the traces
+above) inflate adjacent cycles of BOTH legs rather than one whole leg of
+a pair. eff_min uses each leg's session floor; eff_clean is the median
+over cycles whose both legs ran within 15% of their leg's floor
+(storm-free cycles). The docs sweep separates the Amdahl term — fixed
+per-pass cost F (scheduler, stage setup, Python worker dispatch) is
+constant while compute scales with docs, so raw efficiency RISES toward
+the host-physics ceiling as the job gets longer; a real 100-TB job is
+hours long and sits at the asymptote.
+
+| docs | cycles | floor@{n} (s) | floor@{xn} (s) | eff (floors) | eff (median cycle) | clean cycles | eff (clean median) |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(ls_rows)}
+"""
+    out += f"""
+## Host-physics ceiling (same-day, Spark-free)
+
+`scripts/cpu_inflation_probe.py` — plain `multiprocessing.Pool` workers
+running the IDENTICAL per-page loop (render → decode → emit), no JVM, no
+Arrow, no shuffle — measures per-core Python throughput by resident
+worker count ({len(ratios)} probe sessions, BENCH/cpu_inflation_probe.json):
 
 | resident workers | per-core throughput vs P=1 |
 |---|---|
-| 1 | {curve["P=1"]:.2f} |
-| 4 | {curve["P=4"]:.2f} |
-| 8 | {curve["P=8"]:.2f} |
-| 32 | {curve["P=32"]:.2f} |
+| 1 | {curve['P=1']:.2f} |
+| 4 | {curve['P=4']:.2f} |
+| 8 | {curve['P=8']:.2f} |
+| 32 | {curve['P=32']:.2f} |
 
-The 8→32 decay factor is {min(ratios):.2f}–{max(ratios):.2f}
-(two probe sessions; BENCH/cpu_inflation_probe.json): with ZERO
-framework involved, 32 resident workers on this single host get only
-~{int(100*r_cons)}% of the per-core CPU that 8 workers get — memory
-bandwidth + all-core turbo, properties of the shared host, not of the
-pipeline.
+The 8→32 per-core decay factor across probe sessions is
+**{r_lo:.2f}–{r_hi:.2f}**: with ZERO framework involved, 32 resident
+workers get only ~{int(100 * r_hi)}% of the per-core CPU that 8 workers
+get (memory bandwidth + all-core turbo — properties of the single shared
+host). That number is the CEILING for any local[{n}]→local[{xn}]
+measurement here: a pipeline with perfect framework scaling would
+measure raw efficiency ≈ the probe ratio, i.e. **below 0.8 on this
+host** whenever the probe reads below 0.8.
 
-Putting the estimators together:
+## Verdict vs the ≥0.8 target — stated honestly
 
-| estimator | raw | / host-physics {r_cons:.2f} |
-|---|---|---|
-| this ledger, per-level minima | {eff:.3f} | {corrected:.3f} (floors from different noise regimes — see caveat) |
-| round-2 ledger minima (70 gated runs, quiet host day) | 0.748 | 0.890 |
-| same-regime back-to-back pair (this round) | 0.852 | — (both legs equally loaded; already ≥ 0.8 raw) |
+- **Raw, this host, same-regime pairs: median {med:.3f}. This does NOT
+  clear 0.8 raw**, and per the probe it cannot: the Spark-free ceiling
+  measured in the same sessions is {r_lo:.2f}–{r_hi:.2f}.
+- **Framework-attributable efficiency** (the part this repo controls):
+  median raw / probe ceiling = {med:.3f} / {r_hi:.2f} =
+  **{corrected:.3f}**. This is an ESTIMATE whose assumptions are: (a)
+  the probe workload's memory-bandwidth profile matches the OCR stage's
+  (same per-page loop, so close by construction), and (b) background
+  storms hit both legs of a pair equally (the in-leg traces let a reader
+  check per pair; storms are also ASYMMETRIC by structure — L busy
+  background cores cost a {xn}-core leg ~L/{xn} of its throughput while
+  an {n}-core leg is untouched while {xn - n} cores stay free — so
+  residual contamination biases raw eff DOWN, making the raw median
+  conservative).
+- **On a real N→4N cluster the probe term does not exist**: the per-host
+  worker count is identical at both cluster sizes (clusters grow by
+  adding hosts, not by packing one host 4× denser). The number that
+  predicts N→4N behavior is the framework-attributable one
+  ({corrected:.2f}); the raw single-host number under-states it by
+  exactly the measured host-physics coupling.
 
-On a real N-executor vs 4N-executor cluster the per-HOST worker count is
-identical at both sizes (the cluster grows by adding hosts, not by
-packing one host 4× denser), so the decay term measured above does not
-exist between the two cluster sizes. The figures that predict N→4N
-behavior are the host-physics-corrected ones — **~0.89 from the cleanest
-ledger, 0.85+ raw when both legs share a noise regime** — clearing the
-≥0.8 north rule. The local[8]-vs-local[32] sandbox stand-in structurally
-couples the two levels through one memory system; the probe quantifies
-exactly that coupling, with no framework in the loop.
-""")
-        f.write("""
-## Estimator caveat (round-3 ledger)
+## Cross-session floors (historical context)
 
-The minima estimator assumes both levels eventually sample an equally
-quiet window. This round's host showed storms arriving MID-run (launch
-gating at loadavg < 2.5 did not prevent them; identical back-to-back runs
-varied 2-4x, e.g. 105->46s within one session), and the two levels'
-floors were caught in different noise regimes. Cross-regime context:
+| ledger | min@{n} (s) | min@{xn} (s) | runs | raw eff |
+|---|---|---|---|---|
+{chr(10).join(hist_rows)}
+| r4 pairs (this file) | {floor8:.1f} | {floor32:.1f} | {sum(len(p[f'runs_{n}']) for p in pairs)}+{sum(len(p[f'runs_{xn}']) for p in pairs)} | {eff_floor:.3f} |
 
-- Round-2 ledger (same corpus, same job shape, quieter host day,
-  70 gated runs): floors 77.3s @8 / 25.8s @32 -> raw 0.748.
-- Same-regime pair this round (one back-to-back 8/32 pair, both legs in
-  the same noise window, scripts/scaling_bench.py): 181.6s @8 / 53.3s
-  @32 -> raw **0.852**.
-
-Raw single-host numbers cluster at 0.75 +- 0.1 across estimators — i.e.
-AT the host-physics ceiling measured above (0.81-0.84 x framework
-~0.9), which is exactly what a pipeline with near-unity framework
-efficiency looks like when measured through one shared memory system.
+Floors move round-to-round with host weather (the {xn}-wide leg needs
+ALL {xn} cores simultaneously idle to touch its floor; the {n}-leg only
+{n}) — which is why the same-regime pairs, not cross-session floor
+ratios, are the headline estimator.
 
 ## Analysis
 
 - The Arrow mock-OCR stage (pure Python compute, no shuffle of its own)
   dominates wall time and scales with cores; the post-union stage is ONE
-  sort + three Window nodes fed by one hash(doc_id) exchange (PLANS.md).
-- Round-2 structural fixes: multi-file bench corpus (kills the serial
-  single-split scan+explode), P3 collapsed to one WindowExec, shuffled row
-  slimmed before the exchange. Round 3: OCR stage moved to mapInArrow
-  (no pandas materialization on either side of the boundary).
-- Last-wave straggler tails on the short 32-core stages remain the main
-  framework-side term (media partitions = 4×cores at both levels).
+  sort + three Window nodes fed by one hash(doc_id) exchange (PLANS.md,
+  fresh r4 capture in BENCH/explain_extract_r04.txt).
+- An interleaved A/B of the r2 build vs r4 at sf0.1 measured min 3.77 vs
+  3.78s — code parity; the round-3 bench regression was host weather
+  (adjudicated in BENCH/query_ledger.jsonl minima: extract_full 3.51s).
+- Last-wave straggler tails on the short {xn}-core stages remain the
+  main framework-side term (media partitions = 4×cores at both levels).
 
 ## Reproduce
 
 ```bash
-python scripts/scaling_bench.py --docs 40000 --runs 10   # one pair
-python scripts/_scaling_accumulate.py --docs 40000 --minutes 40  # ledger
-python scripts/cpu_inflation_probe.py 300 4              # host-physics probe
-python scripts/scaling_report.py                          # this file
+python scripts/scaling_pairs.py --pairs 5 --runs 6   # same-regime pairs
+python scripts/lockstep_pairs.py --cycles 16         # run-level interleave
+python scripts/lockstep_pairs.py --cycles 8 --docs 160000  # job-size sweep
+python scripts/cpu_inflation_probe.py 300 3          # host-physics probe
+python scripts/scaling_report.py                     # this file
 ```
-""")
-    print(json.dumps({"minima": mins, "medians": meds,
-                      "efficiency_min": round(eff, 3),
-                      "efficiency_median": round(med_eff, 3),
-                      "efficiency_host_corrected":
-                          round(corrected, 3) if corrected else None}))
+"""
+    with open(args.out, "w") as f:
+        f.write(out)
+    print(json.dumps({
+        "pairs": len(effs),
+        "median_raw": round(med, 3),
+        "median_clean": round(med_clean, 3) if med_clean else None,
+        "floors_eff": round(eff_floor, 3),
+        "probe_ceiling": [round(r_lo, 3), round(r_hi, 3)],
+        "framework_attributable": round(corrected, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -299,6 +299,8 @@ def sniff_mime(payload: bytes) -> str | None:
         return "image/bmp"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "image/tiff"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/x-wav"
     if payload[:4] == b"IMG1":
         return "image/x-synthetic"
     return None

@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "AUDIO_FEATURES_SCHEMA",
     "synth_media_bytes",
     "fake_codec",
     "decode_image_features",
+    "decode_audio_features",
     "frame_sample",
 ]
 
@@ -166,6 +168,85 @@ def decode_image_features(
             )
 
     return media_df.mapInPandas(fn, schema=out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        # per-window sum of |sample| over full windows — integer-exact,
+        # so the DuckDB hash gate can reproduce it bit-for-bit
+        T.StructField("features", T.ArrayType(T.LongType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_audio_features(
+    media_df: DataFrame,
+    codec: Callable[[bytes], tuple[int, np.ndarray]] | None = None,
+    window: int = 256,
+) -> DataFrame:
+    """binary audio payloads → typed metadata + windowed features via an
+    Arrow-batched UDF — the audio leg of the multimodal column story.
+
+    Input: (media_ref string, payload binary). With ``codec=None`` PCM
+    WAV decodes for real (pure-stdlib, functions/wav.py); compressed
+    audio (MP3/AAC/...) needs an injected codec returning
+    (rate, int16 ndarray). Features are the per-window sums of |sample|
+    over full ``window``-sample windows of the first channel — exact
+    int64 arithmetic, reproducible by the DuckDB oracle. Malformed
+    payloads are quarantined per row (``error`` column), mirroring
+    decode_image_features.
+    """
+    if codec is None:
+        from tesseract_recognize_spark.functions.wav import wav_decode
+
+        codec = wav_decode
+
+    from tesseract_recognize_spark.functions.codecs import sniff_mime
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                payload = bytes(payload)
+                mime = sniff_mime(payload) or "application/octet-stream"
+                try:
+                    rate, samples = codec(payload)
+                    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+                    mono = samples if samples.ndim == 1 else samples[:, 0]
+                    n = len(mono)
+                    n_win = n // window
+                    absd = np.abs(mono[: n_win * window].astype(np.int64))
+                    feats = absd.reshape(n_win, window).sum(axis=1)
+                    rows.append(
+                        dict(
+                            media_ref=ref, mime=mime, sample_rate=rate,
+                            n_channels=n_ch, n_samples=n,
+                            n_bytes=len(payload),
+                            features=[int(x) for x in feats], error=None,
+                        )
+                    )
+                except Exception as e:  # quarantine, don't fail the stage
+                    rows.append(
+                        dict(
+                            media_ref=ref, mime=mime, sample_rate=None,
+                            n_channels=None, n_samples=None,
+                            n_bytes=len(payload), features=None,
+                            error=f"{type(e).__name__}: {e}",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields],
+            )
+
+    return media_df.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(

@@ -25,7 +25,9 @@ __all__ = [
     "lsh_signs",
     "lsh_bucket",
     "lsh_topk",
+    "ivf_topk",
     "two_phase_topk",
+    "embedding_cosine_pairs",
 ]
 
 
@@ -255,3 +257,154 @@ def lsh_topk(
             F.max("sim").alias("sim")
         )
     return two_phase_topk(pairs, k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 3,
+    centroid_stride: int = 53,
+    n_queries: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted-file index over centroid
+    cells — the other classic ANN scale path next to ``lsh_topk``.
+
+    Index build (one pass, no iteration):
+      * centroid set: every ``centroid_stride``-th vector of the corpus
+        itself (vec_id % stride == 0) — deterministic sampled centroids,
+        i.e. a k-means++-style init with zero Lloyd refinement, fully
+        reproducible in any engine (the DuckDB oracle derives the same
+        cells from the same rule). Production IVF trains centroids
+        offline on a sample and ships them as a table — pass
+        ``centroids`` (id_col + vec_col) to use a prebuilt set; the
+        assignment/probe/search plan is identical.
+      * assignment: broadcast the (tiny) centroid table against the
+        corpus and keep each vector's single nearest cell (rank-1 by
+        cosine, ties on centroid id). The rank filter is a
+        ``row_number() <= n`` window, which Catalyst rewrites to
+        WindowGroupLimit: the per-vector prune happens MAP-side (the
+        broadcast join emits one vector's centroid rows adjacently), so
+        the exchange carries ≤ nprobe rows per vector, never the
+        n·n_cells cross-score set.
+
+    Search: a query probes its ``nprobe`` nearest cells (same window,
+    rank ≤ nprobe) and exact-cosine re-ranks only the vectors ASSIGNED
+    to those cells — an equi-join on cell id, the same
+    never-the-cross-product shape as the LSH bucket join. Each corpus
+    vector owns exactly ONE cell, so a (query, neighbor) pair occurs at
+    most once and needs no dedup before the top-k. Recall < 1 by
+    construction: a true neighbor is missed iff its one cell is not
+    among the query's nprobe probes; nprobe trades recall for candidate
+    volume (nprobe = n_cells is exact search).
+
+    Output: (vec_id, rank, neighbor_id) — floats stay internal, like
+    every ANN operator here. The assigned projection feeds both join
+    sides and is persisted (caller owns cleanup in long-lived sessions,
+    as with lsh_topk).
+    """
+    from pyspark import StorageLevel
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
+    if centroids is None:
+        cent = base.filter(F.col("vec_id") % centroid_stride == 0).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    else:
+        cent = centroids.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).withColumn("cnorm", F.expr(f"sqrt({_dot_sql('cv', 'cv', dim)})"))
+    sim_c = F.expr(_dot_sql("v", "cv", dim)) / (
+        F.col("norm") * F.col("cnorm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_c"), F.asc("c_id")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cent))  # vs the tiny centroid set
+        .withColumn("sim_c", sim_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "v", "norm", F.col("c_id").alias("cell"), "rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus = assigned.filter(F.col("rn") == 1)
+    probes = assigned if n_queries is None else assigned.filter(
+        F.col("vec_id") < n_queries
+    )
+    q, c = probes.alias("q"), corpus.alias("c")
+    sim = F.expr(_dot_sql("q.v", "c.v", dim)) / (
+        F.col("q.norm") * F.col("c.norm")
+    )
+    pairs = q.join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        sim.alias("sim"),
+    )
+    return two_phase_topk(pairs, k)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (vec_a < vec_b) whose
+    cosine similarity ≥ threshold, with candidates restricted to vectors
+    sharing an LSH bucket — the dedup-flavored sibling of ``lsh_topk``
+    (threshold semantics instead of top-k; both sides the full corpus
+    instead of a query set).
+
+    Scale shape: the bucket equi-join replaces the O(n²) cross product —
+    at 10^12 vectors all-pairs cosine is impossible, while same-bucket
+    pairs are ~n·E[bucket size]. Recall < 1 by construction (a near-dup
+    pair is missed iff any of the ``bits`` hyperplanes separates it:
+    P[all agree] = (1 - θ/π)^bits, high exactly for the near-parallel
+    pairs dedup cares about); ``bits`` trades recall for candidate
+    volume. The bucketed+normed projection is persisted for the same
+    reason as in lsh_topk (feeds both self-join sides; caller owns
+    cleanup in long-lived sessions).
+    """
+    from pyspark import StorageLevel
+
+    base = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
+        .withColumn("bucket", lsh_bucket("v", dim, bits))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.expr(_dot_sql("a.v", "b.v", dim)) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(sim >= F.lit(float(threshold)))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )

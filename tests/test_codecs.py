@@ -221,3 +221,33 @@ def test_tiff_in_sniff_and_chain():
     payload = tiff_encode(_rgb())
     assert sniff_mime(payload) == "image/tiff"
     assert decode_image(payload).shape == _rgb().shape
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from tesseract_recognize_spark.functions.wav import wav_decode, wav_encode
+
+    mono = ((np.arange(1000) * 37) % 4096 - 2048).astype(np.int16)
+    rate, out = wav_decode(wav_encode(mono, 22050))
+    assert rate == 22050 and np.array_equal(out, mono)
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rate, out = wav_decode(wav_encode(stereo, 8000))
+    assert rate == 8000 and out.shape == (1000, 2)
+    assert np.array_equal(out, stereo)
+
+
+def test_wav_malformed_raises_valueerror():
+    from tesseract_recognize_spark.functions.wav import wav_decode, wav_encode
+
+    good = wav_encode(np.zeros(16, np.int16))
+    mulaw = bytearray(good)
+    struct.pack_into("<H", mulaw, 20, 7)  # audio format = mu-law
+    for data in (b"RIFF1234WAVX", good[:30], bytes(mulaw), b"OggS" + good):
+        with pytest.raises(ValueError):
+            wav_decode(data)
+
+
+def test_wav_sniffed():
+    from tesseract_recognize_spark.functions.wav import wav_encode
+
+    assert sniff_mime(wav_encode(np.zeros(4, np.int16))) == "audio/x-wav"
+    assert sniff_mime(b"RIFF0000AVI ") is None

@@ -132,6 +132,38 @@ def test_lsh_topk_subset_of_bruteforce(spark):
     assert all((r["vec_id"], r["neighbor_id"]) in exact for r in approx)
 
 
+def test_ivf_topk_exact_at_full_probe_and_subset(spark):
+    """Probing every cell makes IVF exact search (must equal brute
+    force row-for-row); a small nprobe returns a subset of the exact
+    neighbor pairs with contiguous ranks per query."""
+    from tesseract_recognize_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.randn(8).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    n_cells = sum(1 for i in range(60) if i % 7 == 0)  # stride-7 rule
+    full = ivf_topk(
+        emb, dim=8, k=4, nprobe=n_cells, centroid_stride=7
+    ).collect()
+    exact = brute_force_topk(emb, k=4, dim=8).collect()
+    key = lambda r: (r["vec_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, exact))
+
+    approx = ivf_topk(emb, dim=8, k=4, nprobe=2, centroid_stride=7).collect()
+    exact_pairs = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=59, dim=8).collect()
+    }
+    assert len(approx) > 0
+    assert all((r["vec_id"], r["neighbor_id"]) in exact_pairs for r in approx)
+    ranks = {}
+    for r in approx:
+        ranks.setdefault(r["vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in ranks.values())
+    spark.catalog.clearCache()
+
+
 def test_langid_and_stats(spark, docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in langid_stopwords(docs).collect()}
     assert pred[1] == "en" and pred[4] == "de"
@@ -237,3 +269,55 @@ def test_frame_sample(spark):
     df = spark.createDataFrame([("v1", 25)], ["media_ref", "n_frames"])
     out = frame_sample(df, every_n=10).collect()
     assert [r["frame_idx"] for r in out] == [0, 10, 20]
+
+
+def test_embedding_cosine_pairs_threshold_and_subset(spark):
+    """Near-dup pairs are (a) truly above the cosine threshold and (b) a
+    subset of the exact all-pairs answer (LSH recall < 1); a pair of
+    identical vectors (cos=1) in one bucket by construction is found."""
+    from tesseract_recognize_spark.operators.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(16).tolist()) for i in range(30)]
+    vecs.append((30, list(vecs[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {(r["vec_a"], r["vec_b"]) for r in
+           embedding_cosine_pairs(emb, dim=16, threshold=0.95, bits=4)
+           .collect()}
+    arr = {i: np.array(v) for i, v in vecs}
+    exact = {
+        (a, b)
+        for a in arr for b in arr if a < b
+        and float(arr[a] @ arr[b])
+        / (np.linalg.norm(arr[a]) * np.linalg.norm(arr[b])) >= 0.95
+    }
+    assert (0, 30) in got          # identical pair always shares buckets
+    assert got <= exact            # no false positives (exact verify)
+    spark.catalog.clearCache()
+
+
+def test_audio_features_decode_and_quarantine(spark):
+    """WAV payloads decode through the stdlib codec with integer-exact
+    windowed features; undecodable audio quarantines per row."""
+    from tesseract_recognize_spark.functions.wav import wav_encode
+    from tesseract_recognize_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    s = ((np.arange(512, dtype=np.int64) * 3) % 100 - 50).astype(np.int16)
+    rows = [
+        ("a://ok", bytearray(wav_encode(s, 16000))),
+        ("a://bad", bytearray(b"OggS notawav")),
+    ]
+    df = spark.createDataFrame(rows, ["media_ref", "payload"])
+    out = {r["media_ref"]: r for r in
+           decode_audio_features(df, window=128).collect()}
+    ok = out["a://ok"]
+    assert ok.error is None and ok.mime == "audio/x-wav"
+    assert ok.sample_rate == 16000 and ok.n_samples == 512
+    expect = np.abs(s.astype(np.int64)).reshape(4, 128).sum(axis=1)
+    assert ok.features == [int(x) for x in expect]
+    bad = out["a://bad"]
+    assert bad.error is not None and bad.features is None
