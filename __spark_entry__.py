@@ -362,6 +362,33 @@ def q_ann_lsh_mt_topk(spark, sf_dir):
     )
 
 
+def q_events_window_rollup(spark, sf_dir):
+    # watermarked event-time window rollup, batch-parity path: the SAME
+    # aggregation the streaming operator runs (streaming/windowed.py) on
+    # the events table; integer-cents sum keeps the gate bit-exact
+    # (double sums are addition-order-dependent across engines)
+    from tesseract_recognize_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="5 minutes", value_as_cents=True)
+    # timestampdiff vs an NTZ epoch literal — timezone-free epoch seconds
+    # (NTZ→BIGINT cast is disallowed; NTZ→LTZ would drag the session tz in)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return out.select(
+        F.expr(f"timestampdiff(SECOND, {epoch}, window_start)")
+        .cast("bigint")
+        .alias("window_start"),
+        F.expr(f"timestampdiff(SECOND, {epoch}, window_end)")
+        .cast("bigint")
+        .alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value_cents").cast("bigint").alias("sum_value_cents"),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # IVF-style ANN: deterministic sampled centroids, rank-1 cell
     # assignment, nprobe-cell probe + exact re-rank
@@ -472,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "events_window_rollup": q_events_window_rollup,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_audio_features": q_multimodal_audio_features,
     }
@@ -914,6 +942,17 @@ FROM documents WHERE doc_id % 6 = 0
         "ann_ivf_topk": _ann_ivf_oracle(
             dim=64, k=5, nprobe=3, stride=53, n_queries=50
         ),
+        "events_window_rollup": """
+SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT
+           AS window_start,
+       epoch(time_bucket(INTERVAL '5 minutes', ts)
+             + INTERVAL '5 minutes')::BIGINT AS window_end,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
+FROM events
+GROUP BY 1, 2, 3
+""",
         "dedup_embedding_cosine": _emb_cosine_oracle(
             dim=64, threshold=0.9, bits=8
         ),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "media_reconcile",
+    "events_window_rollup",
     "langid",
     "quality_score",
     "token_counts",

@@ -1,0 +1,58 @@
+"""Marginal-throughput scaling efficiency from the lockstep docs sweep.
+
+Each lockstep ledger record gives per-leg session floors at one corpus
+size. Modeling a leg as  t(docs) = F_leg + c_leg * docs  (fixed per-pass
+cost F: scheduler, stage setup, Python worker dispatch, noop-commit;
+marginal per-doc cost c), two corpus sizes solve both terms per leg:
+
+    c_leg = (t_big - t_small) / (docs_big - docs_small)
+    F_leg = t_small - docs_small * c_leg
+
+The MARGINAL efficiency  eff_inf = c_8 / (4 * c_32)  is the scaling
+number with the Amdahl term removed — the regime a real 100-TB job
+(hours long, F negligible) runs in. It still INCLUDES the single-host
+physics coupling (8 resident workers clock higher than 32: the
+cpu_inflation_probe ceiling), which a real N→4N cluster does not have.
+
+    python scripts/marginal_efficiency.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+LEDGER = "BENCH/lockstep_ledger_r04.jsonl"
+
+
+def main() -> None:
+    recs = [json.loads(ln) for ln in open(LEDGER)]
+    by_docs: dict[int, dict] = {}
+    for r in recs:
+        d = by_docs.setdefault(r["docs"], r)
+        # keep the record with the lower 32-leg floor (cleanest session)
+        if r["min_32"] < d["min_32"]:
+            by_docs[r["docs"]] = r
+    if len(by_docs) < 2:
+        sys.exit("need lockstep records at >=2 corpus sizes")
+    sizes = sorted(by_docs)
+    small, big = by_docs[sizes[0]], by_docs[sizes[-1]]
+    dd = big["docs"] - small["docs"]
+    out = {"docs_small": small["docs"], "docs_big": big["docs"]}
+    c = {}
+    for leg in (8, 32):
+        c[leg] = (big[f"min_{leg}"] - small[f"min_{leg}"]) / dd
+        out[f"c_{leg}_ms_per_doc"] = round(c[leg] * 1000, 4)
+        out[f"F_{leg}_sec"] = round(
+            small[f"min_{leg}"] - small["docs"] * c[leg], 2
+        )
+    for name, rec in (("small", small), ("big", big)):
+        out[f"eff_raw_{name}"] = round(
+            rec["min_8"] / (4 * rec["min_32"]), 3
+        )
+    out["eff_marginal"] = round(c[8] / (4 * c[32]), 3)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,85 @@ def test_stateful_dedup_across_batches_and_restarts(spark, tmp_path):
         got2.select("content_hash").distinct().count() == got2.count()
     )
     pd  # noqa: B018  (imported for clarity of the pandas dependency)
+
+
+def test_watermarked_window_rollup_drops_late_events(spark, tmp_path):
+    """Append-mode watermarked windowed agg: a window emits once after
+    the watermark passes its end, and events older than the checkpointed
+    watermark are dropped (bounded state — the late-data contract)."""
+    from datetime import datetime as DT
+
+    from tesseract_recognize_spark.streaming.windowed import (
+        stream_event_rollup,
+    )
+
+    in_dir = str(tmp_path / "ein")
+    out_dir = str(tmp_path / "eout")
+    cp_dir = str(tmp_path / "ecp")
+    os.makedirs(in_dir)
+
+    def write(name, rows):
+        # flat single-file parquet (like write_documents_parquet): the
+        # file-stream source lists files, not Spark output directories
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": pd.array(
+                        range(len(rows)), dtype="int64"
+                    ),
+                    "ts": pd.to_datetime([r[0] for r in rows]),
+                    "user_id": pd.array(
+                        [1] * len(rows), dtype="int64"
+                    ),
+                    "event_type": [r[1] for r in rows],
+                    "value": [float(r[2]) for r in rows],
+                    "props": ["{}"] * len(rows),
+                }
+            ),
+            preserve_index=False,
+        )
+        # Spark's vectorized reader needs µs timestamps, not pandas' ns
+        ts_us = pa.schema(
+            [
+                f if f.name != "ts" else pa.field("ts", pa.timestamp("us"))
+                for f in tbl.schema
+            ]
+        )
+        pq.write_table(tbl.cast(ts_us), f"{in_dir}/{name}.parquet")
+
+    t = lambda m: DT(2024, 1, 1, 10, m)  # noqa: E731
+
+    # run 1: two early windows + one event far ahead that advances the
+    # watermark (10:21 - 10min = 10:11) past both early window ends
+    write("f0", [(t(0), "a", 1.0), (t(2), "a", 2.0),
+                 (t(7), "b", 3.0), (t(21), "a", 4.0)])
+    stream_event_rollup(spark, in_dir, out_dir, cp_dir).awaitTermination(120)
+
+    # run 2: a LATE event (10:03 < checkpointed watermark 10:11 → must
+    # be dropped, its finalized window must NOT change) + live events
+    write("f1", [(t(3), "a", 99.0), (t(22), "b", 5.0), (t(40), "a", 6.0)])
+    stream_event_rollup(spark, in_dir, out_dir, cp_dir).awaitTermination(120)
+
+    # run 3: advance the watermark (11:00 → 10:50 next batch; batch
+    # start watermark 10:30 closes the 10:20-10:25 window)
+    write("f2", [(DT(2024, 1, 1, 11, 0), "b", 7.0)])
+    stream_event_rollup(spark, in_dir, out_dir, cp_dir).awaitTermination(120)
+
+    got = {
+        (r["window_start"].minute, r["event_type"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (0, "a") in got and got[(0, "a")]["n_events"] == 2  # late drop
+    assert got[(0, "a")]["sum_value"] == 3.0  # 99.0 never counted
+    assert (5, "b") in got and got[(5, "b")]["n_events"] == 1
+    assert (20, "a") in got and (20, "b") in got  # closed by run 3
+    # run 3's no-data final microbatch advances the watermark to
+    # 11:00−10min = 10:50, closing the 10:40 window too
+    assert (40, "a") in got and got[(40, "a")]["n_events"] == 1
+    # the 11:00 event's own window (ends 11:05 > watermark) stays open:
+    # no 'b' row in hour 11 (every emitted row is still in hour 10)
+    assert all(r["window_start"].hour == 10 for r in got.values())
