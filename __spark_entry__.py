@@ -389,6 +389,78 @@ def q_events_window_rollup(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    # gap-based sessionization (operators/temporal.py): one
+    # hash(user_id) exchange serves the gap window, the running session
+    # counter, and the per-session aggregate
+    from tesseract_recognize_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=360).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value_cents",
+    )
+
+
+def q_events_asof_join(spark, sf_dir):
+    # as-of join via the union+window idiom (operators/temporal.py):
+    # each click attributed to the user's latest prior-or-equal purchase
+    from tesseract_recognize_spark.operators.temporal import (
+        asof_join,
+        epoch_us,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        "event_type",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value_cents"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", right_payload=("value_cents",)
+    )
+    # clicks before any purchase carry NULL payload; -1 sentinel keeps
+    # the value-hash gate engine-agnostic (null sort order differs)
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+        F.coalesce("asof_ts_us", F.lit(-1)).alias("asof_ts_us"),
+        F.coalesce("asof_value_cents", F.lit(-1)).alias("asof_value_cents"),
+    )
+
+
+def q_events_range_counts(spark, sf_dir):
+    # binned range join (operators/temporal.py): clicks within ±10 min
+    # of each error event, bucketized equi-join instead of an
+    # inequality join
+    from tesseract_recognize_spark.operators.temporal import (
+        epoch_us,
+        range_join_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", epoch_us("ts").alias("ts_us"), "event_type")
+    errors = base.filter(F.col("event_type") == "error")
+    clicks = base.filter(F.col("event_type") == "click")
+    return range_join_counts(errors, clicks, tolerance_minutes=10).select(
+        "anchor_id", "ts_us", F.col("n_within").cast("bigint").alias("n_within")
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # IVF-style ANN: deterministic sampled centroids, rank-1 cell
     # assignment, nprobe-cell probe + exact re-rank
@@ -500,6 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_window_rollup": q_events_window_rollup,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
+        "events_range_counts": q_events_range_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_audio_features": q_multimodal_audio_features,
     }
@@ -952,6 +1027,68 @@ SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT
        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_value_cents
 FROM events
 GROUP BY 1, 2, 3
+""",
+        "events_sessionize": """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 21600000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessed AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq::BIGINT AS session_seq,
+       min(ts_us)::BIGINT AS session_start_us,
+       max(ts_us)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       sum(value_cents)::BIGINT AS sum_value_cents
+FROM sessed GROUP BY 1, 2
+""",
+        "events_asof_join": """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents, event_type
+  FROM events
+), u AS (
+  SELECT user_id, event_id, ts_us, 1 AS _side,
+         NULL::BIGINT AS p_id, NULL::BIGINT AS p_ts, NULL::BIGINT AS p_val
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, event_id, ts_us, 0,
+         event_id, ts_us, value_cents
+  FROM base WHERE event_type = 'purchase'
+), filled AS (
+  SELECT user_id, event_id, ts_us, _side,
+         last_value(p_id IGNORE NULLS) OVER w AS asof_event_id,
+         last_value(p_ts IGNORE NULLS) OVER w AS asof_ts_us,
+         last_value(p_val IGNORE NULLS) OVER w AS asof_value_cents
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, _side, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id, ts_us,
+       coalesce(asof_event_id, -1)::BIGINT AS asof_event_id,
+       coalesce(asof_ts_us, -1)::BIGINT AS asof_ts_us,
+       coalesce(asof_value_cents, -1)::BIGINT AS asof_value_cents
+FROM filled WHERE _side = 1
+""",
+        "events_range_counts": """
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events
+)
+SELECT a.event_id AS anchor_id, a.ts_us AS ts_us,
+       count(p.ts_us)::BIGINT AS n_within
+FROM base a LEFT JOIN base p
+  ON p.event_type = 'click' AND abs(p.ts_us - a.ts_us) <= 600000000
+WHERE a.event_type = 'error'
+GROUP BY 1, 2
 """,
         "dedup_embedding_cosine": _emb_cosine_oracle(
             dim=64, threshold=0.9, bits=8

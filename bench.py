@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "media_reconcile",
     "events_window_rollup",
+    "events_sessionize",
+    "events_asof_join",
+    "events_range_counts",
     "langid",
     "quality_score",
     "token_counts",

@@ -26,9 +26,9 @@ TABLES = (
 
 
 def canon_cell(v):
-    if isinstance(v, float):
-        return repr(v)
-    return v
+    # repr gives every cell (incl. None) one comparable, engine-agnostic
+    # canonical form; repr('5') != repr(5) so types stay distinguished
+    return repr(v)
 
 
 def canon(rows, cols):

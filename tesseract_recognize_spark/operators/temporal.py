@@ -1,0 +1,217 @@
+"""Temporal operators over event streams: gap sessionization, as-of
+join, and binned range join.
+
+A 100-TB training-data pipeline slices behavioral logs into sessions
+(context windows for sequence models), attributes each event to the
+latest preceding state change (as-of join — feature joins in every
+feature store), and correlates events across streams inside a time
+tolerance (range join — label propagation, burst detection). Spark has
+no native operator for any of the three; each is re-expressed here as a
+composition whose physical plan survives 10^12 rows:
+
+  * ``sessionize`` — ONE hash(user_id) exchange serves the gap-flag
+    window, the running session counter, AND the per-session aggregate:
+    ``HashPartitioning(user_id)`` satisfies the clustered distribution
+    required by the (user_id, session_seq) group-by, so Catalyst plans
+    no second shuffle. State per task is one partition's rows — no
+    driver involvement, no skew beyond user fan-out.
+  * ``asof_join`` — the union trick: tag both sides, union, and carry
+    the right side's payload forward with ``last(..., ignorenulls)``
+    over an unbounded-preceding row frame. ONE exchange of
+    |left|+|right| rows, versus the naive inequality join Spark would
+    plan as BroadcastNestedLoopJoin (O(|L|·|R|), a non-starter at
+    scale). Tie discipline matches ASOF semantics: right rows sort
+    before left rows at equal timestamps (right_ts <= left_ts is a
+    match), dup right timestamps resolve to the largest event_id.
+  * ``range_join_counts`` — inequality predicates can't hash-join, so
+    bucketize time to width W and explode each probe row to its 3
+    candidate buckets: the |anchor x probe| cartesian becomes an
+    equi-join on bucket carrying only ±1-bucket neighborhoods, then an
+    exact |dt| <= W filter. Shuffle volume is 3·|probe| + |anchor|,
+    independent of the time-range selectivity.
+
+All timestamps are converted once to epoch MICROSECONDS (bigint) via
+``timestampdiff`` against an NTZ epoch literal: parquet NTZ timestamps
+never touch the session timezone, comparisons run in whole-stage
+codegen, and DuckDB's ``epoch_us`` mirrors the value bit-exactly for
+the oracle gates.
+
+Reference parity: the reference engine has no event operators — these
+extend the engine for the training-data workloads SURVEY.md §6 scopes
+in, alongside the dedup/ANN family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["epoch_us", "sessionize", "asof_join", "range_join_counts"]
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_us(ts_col: str) -> F.Column:
+    """Epoch microseconds (bigint) of an NTZ timestamp column, timezone
+    free: NTZ->BIGINT casts are disallowed and NTZ->LTZ would drag the
+    session timezone in; timestampdiff against an NTZ epoch literal is
+    exact integer arithmetic (DuckDB oracle twin: ``epoch_us(ts)``)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {ts_col})"
+    ).cast("bigint")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 360,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``.
+
+    Output: (user_id, session_seq, session_start_us, session_end_us,
+    n_events, sum_value_cents), session_seq 1-based in time order.
+
+    Plan shape: one Exchange hash(user_id); the two windows (gap flag,
+    running counter) and the (user_id, session_seq) hash aggregate all
+    reuse it — partitioning by user_id clusters every (user_id,
+    session_seq) group, so the group-by's ClusteredDistribution is
+    already satisfied. Ordering ties break on event_id; value sums are
+    integer cents (double sums are addition-order-dependent across
+    engines, int sums are not).
+    """
+    gap_us = int(gap_minutes) * 60_000_000
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        epoch_us(ts_col).alias("ts_us"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("value_cents"),
+    )
+    order = [F.asc("ts_us"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("ts_us").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("session_seq", F.sum(new_session).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts_us",
+    right_ts: str = "ts_us",
+    right_payload: tuple[str, ...] = (),
+    right_id: str = "event_id",
+) -> DataFrame:
+    """For each left row, the right row with the greatest ``right_ts``
+    <= ``left_ts`` within the same ``on`` key (NULL payload when no
+    right row precedes). Both inputs carry epoch-µs bigint timestamps.
+
+    The union trick: tag sides (_side 0 = right, 1 = left), union, and
+    ``last(payload, ignorenulls=True)`` over (key ORDER BY ts, _side,
+    right_id ROWS UNBOUNDED PRECEDING) carries the latest right payload
+    onto every subsequent left row; filter back to left rows. ONE
+    exchange of |L|+|R| rows — never the O(|L|·|R|) nested-loop plan
+    Spark gives a raw inequality join. Equal-timestamp right rows sort
+    before left (<= match) and resolve to the largest ``right_id``.
+    """
+    src = [(right_id, f"asof_{right_id}"), (right_ts, f"asof_{right_ts}")]
+    src += [(c, f"asof_{c}") for c in right_payload]
+    payload = [a for _, a in src]
+    l_cols = left.columns
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_id).cast("long").alias("_tie"),
+        *[F.col(c).alias(a) for c, a in src],
+    )
+    lt = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+    )
+    # unionByName fills each side's missing columns (left payload slots,
+    # right's left-only columns) with typed NULLs
+    u = lt.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc_nulls_last("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *l_cols,
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_counts(
+    anchors: DataFrame,
+    probes: DataFrame,
+    tolerance_minutes: int = 10,
+    anchor_ts: str = "ts_us",
+    probe_ts: str = "ts_us",
+    anchor_id: str = "event_id",
+) -> DataFrame:
+    """Per anchor row: how many probe rows fall within ±tolerance of
+    its timestamp (any key). Output: (anchor_id, ts_us, n_within).
+
+    Bucketize both sides to tolerance-width buckets and explode each
+    probe to its {b-1, b, b+1} neighborhood — every qualifying pair
+    shares a bucket with exactly one of the three copies, so a plain
+    equi-join on bucket + an exact |dt| <= tol filter replaces the
+    unplannable inequality join. Map-side combine counts probes per
+    (bucket) first if volumes demand it; here the join output is
+    aggregated per anchor in the same shuffle round.
+    """
+    tol_us = int(tolerance_minutes) * 60_000_000
+    a = anchors.select(
+        F.col(anchor_id).alias("anchor_id"),
+        F.col(anchor_ts).alias("a_ts"),
+        (F.col(anchor_ts) / tol_us).cast("bigint").alias("bucket"),
+    )
+    p = probes.select(
+        F.col(probe_ts).alias("p_ts"),
+        F.explode(
+            F.array(
+                (F.col(probe_ts) / tol_us).cast("bigint") - 1,
+                (F.col(probe_ts) / tol_us).cast("bigint"),
+                (F.col(probe_ts) / tol_us).cast("bigint") + 1,
+            )
+        ).alias("bucket"),
+    )
+    hits = a.join(p, "bucket").where(
+        F.abs(F.col("p_ts") - F.col("a_ts")) <= tol_us
+    )
+    return (
+        a.select("anchor_id", "a_ts")
+        .join(
+            hits.groupBy("anchor_id").agg(F.count("*").alias("n_within")),
+            "anchor_id",
+            "left",
+        )
+        .select(
+            "anchor_id",
+            F.col("a_ts").alias("ts_us"),
+            F.coalesce("n_within", F.lit(0)).alias("n_within"),
+        )
+    )

@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-__all__ = ["windowed_event_counts", "stream_event_rollup", "EVENTS_SCHEMA"]
+__all__ = [
+    "windowed_event_counts",
+    "stream_event_rollup",
+    "stream_sessionize",
+    "EVENTS_SCHEMA",
+]
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -79,6 +84,61 @@ def windowed_event_counts(
             "sum_value_cents" if value_as_cents else "sum_value",
         )
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Streaming gap sessionization via ``F.session_window``: per-user
+    sessions whose windows merge while events arrive within ``gap``, and
+    finalize (append-mode emit, state dropped) once the watermark passes
+    a session's end. This is the streaming twin of the batch
+    ``operators.temporal.sessionize`` — the engine merges session state
+    incrementally instead of sorting history, so state is O(open
+    sessions), not O(stream length).
+
+    Boundary note vs the batch operator: ``session_window`` closes a
+    session when the next gap is >= ``gap`` (window [ts, ts+gap) fails
+    to overlap), while the batch op splits strictly > ``gap``; an
+    exactly-gap-spaced event pair lands in one batch session but two
+    streaming sessions. Returns the StreamingQuery."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    rollup = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    writer = (
+        rollup.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_event_rollup(

@@ -161,3 +161,86 @@ def test_watermarked_window_rollup_drops_late_events(spark, tmp_path):
     # the 11:00 event's own window (ends 11:05 > watermark) stays open:
     # no 'b' row in hour 11 (every emitted row is still in hour 10)
     assert all(r["window_start"].hour == 10 for r in got.values())
+
+
+def _write_events(path, rows, id_start=0):
+    """Flat single-file events parquet: (ts, user_id, value) rows with
+    µs timestamps (Spark's vectorized reader rejects pandas' ns)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": pd.array(
+                    range(id_start, id_start + len(rows)), dtype="int64"
+                ),
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "user_id": pd.array([r[1] for r in rows], dtype="int64"),
+                "event_type": ["x"] * len(rows),
+                "value": [float(r[2]) for r in rows],
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        preserve_index=False,
+    )
+    ts_us = pa.schema(
+        [
+            f if f.name != "ts" else pa.field("ts", pa.timestamp("us"))
+            for f in tbl.schema
+        ]
+    )
+    pq.write_table(tbl.cast(ts_us), path)
+
+
+def test_stream_sessionize_merges_and_finalizes(spark, tmp_path):
+    """session_window streaming sessions: events within the gap merge
+    into one session, a session emits once after the watermark passes
+    its end, and late events are dropped without corrupting finalized
+    sessions."""
+    from datetime import datetime as DT
+
+    from tesseract_recognize_spark.streaming.windowed import (
+        stream_sessionize,
+    )
+
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    cp_dir = str(tmp_path / "scp")
+    os.makedirs(in_dir)
+    t = lambda h, m: DT(2024, 1, 1, h, m)  # noqa: E731
+
+    # run 1: u1 session of two events (10 min apart < 30-min gap), u2
+    # singleton; u9 @12:00 advances the watermark (11:50) past both
+    # session ends (10:40 / 10:35) so both finalize
+    _write_events(
+        f"{in_dir}/f0.parquet",
+        [(t(10, 0), 1, 1.0), (t(10, 10), 1, 2.0),
+         (t(10, 5), 2, 5.0), (t(12, 0), 9, 1.0)],
+    )
+    stream_sessionize(spark, in_dir, out_dir, cp_dir).awaitTermination(120)
+
+    # run 2: a late event (10:20 < watermark) must vanish — u1's
+    # finalized session stays n=2; u9 @13:30 closes u9's 12:00 session
+    _write_events(
+        f"{in_dir}/f1.parquet",
+        [(t(10, 20), 1, 99.0), (t(13, 30), 9, 1.0)],
+        id_start=100,
+    )
+    stream_sessionize(spark, in_dir, out_dir, cp_dir).awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    u1 = got[(1, 10, 0)]
+    assert u1["n_events"] == 2 and u1["sum_value_cents"] == 300
+    # session end = last event + gap
+    assert (u1["session_end"].hour, u1["session_end"].minute) == (10, 40)
+    assert got[(2, 10, 5)]["n_events"] == 1
+    assert got[(9, 12, 0)]["n_events"] == 1  # closed by run 2
+    # the late 99.0 event never landed anywhere: 300 + 500 + 100 cents
+    assert sum(r["sum_value_cents"] for r in got.values()) == 900
+    # u9's 13:30 session is still open (watermark 13:20 < end 14:00)
+    assert (9, 13, 30) not in got
