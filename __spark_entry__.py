@@ -389,6 +389,34 @@ def q_events_window_rollup(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    # pairwise near-dup verdicts -> clusters: min-label propagation over
+    # the verified Jaccard pairs (operators/components.py), singletons
+    # coalesced to themselves; keeper = component minimum
+    from tesseract_recognize_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    asg = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce("component_id", docs["doc_id"]).alias("component_id"),
+        )
+    )
+    w = Window.partitionBy("component_id")
+    return asg.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).cast("bigint").alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     # gap-based sessionization (operators/temporal.py): one
     # hash(user_id) exchange serves the gap window, the running session
@@ -572,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_window_rollup": q_events_window_rollup,
+        "dedup_components": q_dedup_components,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_range_counts": q_events_range_counts,
@@ -688,6 +717,65 @@ SELECT doc_a, doc_b, jaccard FROM (
   JOIN sets b ON b.doc_id = e.doc_b
 )
 WHERE jaccard >= {threshold}
+"""
+    )
+
+
+def _dedup_components_oracle(
+    threshold: float = 0.8, n_hashes: int = 16, est_min_agree: int = 8
+) -> str:
+    """Recursive-CTE reachability closure over the verified Jaccard
+    pairs: component_id = min node id reachable — value-for-value the
+    fixpoint min-label propagation computes in Spark."""
+    agree = " + ".join(
+        f"(sa.mh{i} = sb.mh{i})::INT" for i in range(n_hashes)
+    )
+    ctes = _minhash_ctes().replace("WITH shing", "WITH RECURSIVE shing", 1)
+    return (
+        ctes
+        + f""",
+est AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  WHERE ({agree}) >= {est_min_agree}
+),
+sets AS (SELECT doc_id, list_distinct(hs) AS sh FROM hashed),
+vpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT e.doc_a, e.doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+           AS jaccard
+    FROM est e
+    JOIN sets a ON a.doc_id = e.doc_a
+    JOIN sets b ON b.doc_id = e.doc_b
+  )
+  WHERE jaccard >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+),
+reach AS (
+  SELECT u AS node, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(lbl) AS component_id FROM reach GROUP BY node
+),
+asg AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, component_id,
+       (count(*) OVER (PARTITION BY component_id))::BIGINT
+           AS component_size,
+       doc_id = component_id AS is_keeper
+FROM asg
 """
     )
 
@@ -1028,6 +1116,7 @@ SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT
 FROM events
 GROUP BY 1, 2, 3
 """,
+        "dedup_components": _dedup_components_oracle(0.8),
         "events_sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
