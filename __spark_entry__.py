@@ -417,6 +417,48 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+_MIX_FRACTIONS = {
+    "purchase": 1.0,
+    "click": 0.5,
+    "error": 0.25,
+    "view": 0.1,
+    "signup": 0.05,
+}
+
+
+def q_sample_stratified(spark, sf_dir):
+    # deterministic corpus mixing (operators/sampling.py): per-stratum
+    # hash-Bernoulli keep — zero shuffle, partitioning-independent
+    from tesseract_recognize_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev.select("event_id", "event_type", "user_id"),
+        strata_col="event_type",
+        fractions=_MIX_FRACTIONS,
+        key_col="event_id",
+        salt="mix1",
+    )
+
+
+def q_sample_per_group_topn(spark, sf_dir):
+    # exactly-n-per-stratum deterministic sample under WindowGroupLimit
+    from tesseract_recognize_spark.operators.sampling import (
+        per_stratum_topn,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return per_stratum_topn(
+        ev.select("event_id", "event_type"),
+        strata_col="event_type",
+        n=50,
+        key_col="event_id",
+        salt="mix1",
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     # gap-based sessionization (operators/temporal.py): one
     # hash(user_id) exchange serves the gap window, the running session
@@ -601,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_window_rollup": q_events_window_rollup,
         "dedup_components": q_dedup_components,
+        "sample_stratified": q_sample_stratified,
+        "sample_per_group_topn": q_sample_per_group_topn,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_range_counts": q_events_range_counts,
@@ -778,6 +822,38 @@ SELECT doc_id, component_id,
 FROM asg
 """
     )
+
+
+def _sample_hash_sql(key_expr: str, salt: str) -> str:
+    """DuckDB twin of sampling.sample_hash: md5-derived hash64 of
+    'salt|key', pmod 1e6 (hash64 is non-negative, plain % suffices)."""
+    h = _hash64_sql(f"concat_ws('|', '{salt}', ({key_expr})::VARCHAR)")
+    return f"({h} % 1000000)"
+
+
+def _sample_stratified_oracle(salt: str = "mix1") -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(f * 1000000)}"
+        for s, f in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE {_sample_hash_sql('event_id', salt)}
+      < CASE event_type {cases} ELSE 0 END
+"""
+
+
+def _sample_topn_oracle(n: int, salt: str = "mix1") -> str:
+    return f"""
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {_sample_hash_sql('event_id', salt)} ASC, event_id ASC
+         ) AS rk
+  FROM events
+) WHERE rk <= {n}
+"""
 
 
 def _ann_lsh_oracle(
@@ -1117,6 +1193,8 @@ FROM events
 GROUP BY 1, 2, 3
 """,
         "dedup_components": _dedup_components_oracle(0.8),
+        "sample_stratified": _sample_stratified_oracle(),
+        "sample_per_group_topn": _sample_topn_oracle(50),
         "events_sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

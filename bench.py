@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "media_reconcile",
     "events_window_rollup",
+    "sample_stratified",
+    "sample_per_group_topn",
     "events_sessionize",
     "events_asof_join",
     "events_range_counts",
