@@ -417,6 +417,16 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    # per-doc characteristic terms, linear-idf tf·idf rank
+    # (operators/textstats.py:tfidf_top_terms)
+    from tesseract_recognize_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 _MIX_FRACTIONS = {
     "purchase": 1.0,
     "click": 0.5,
@@ -645,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "sample_stratified": q_sample_stratified,
         "sample_per_group_topn": q_sample_per_group_topn,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_range_counts": q_events_range_counts,
@@ -1195,6 +1206,26 @@ GROUP BY 1, 2, 3
         "dedup_components": _dedup_components_oracle(0.8),
         "sample_stratified": _sample_stratified_oracle(),
         "sample_per_group_topn": _sample_topn_oracle(50),
+        "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf_count FROM tok GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf_count, d.doc_freq,
+         (t.tf_count::DOUBLE * n.n_docs) / d.doc_freq AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf_count, doc_freq, score FROM (
+  SELECT doc_id, term, tf_count, doc_freq, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
         "events_sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "langid",
     "quality_score",
     "token_counts",
+    "tfidf_top_terms",
     "doc_fingerprint",
 ]
 

@@ -5,7 +5,7 @@ has an exact DuckDB oracle)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "STOPWORDS",
@@ -13,6 +13,7 @@ __all__ = [
     "quality_score",
     "token_counts",
     "doc_fingerprint",
+    "tfidf_top_terms",
 ]
 
 # tiny per-language stopword lists; the ORDER of languages breaks ties
@@ -116,6 +117,58 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpeish_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf rank.
+
+    idf is the LINEAR form N/df, not log(N/df): every arithmetic step
+    is then an IEEE-exact +-*/ (a transcendental log differs by ulps
+    between engines and would break the bit-exact oracle gate); the
+    per-document RANKING this operator exists for is only mildly
+    affected (log compresses, it does not reorder extremes), and the
+    exactness contract is worth more than the textbook constant.
+
+    Scale shape: token explode → (doc, term) count (map-side
+    combinable) → doc-freq aggregate → join back on term (AQE
+    broadcasts the vocab side when it fits, shuffles otherwise) → N via
+    a broadcast single-row cross join → per-doc top-k under
+    WindowGroupLimit. No driver collect; every shuffle keys on
+    (doc_id, term) or term.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(_words(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf_count"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        "tf_count",
+        "doc_freq",
+        (
+            F.col("tf_count").cast("double") * F.col("n_docs")
+            / F.col("doc_freq")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            "tf_count",
+            "doc_freq",
+            "score",
+        )
     )
 
 
