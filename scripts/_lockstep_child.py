@@ -37,6 +37,15 @@ def main() -> None:
     spark = build_session(
         app_name=f"lockstep-{cores}",
         master=f"local[{cores}]",
+        # the host's phantom-preemption storms have frozen this driver
+        # JVM for 6+ minutes (measured: heartbeat gap 368s); at the
+        # default 120s network timeout the local-mode executor gets
+        # removed and the session dies mid-warmup. A long-running leg
+        # must survive a storm, not die from it.
+        extra_conf={
+            "spark.network.timeout": "900s",
+            "spark.executor.heartbeatInterval": "60s",
+        },
         shuffle_partitions=cores * shuffle_factor,
     )
     docs = spark.read.parquet(input_path)

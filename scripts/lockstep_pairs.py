@@ -48,18 +48,29 @@ class Child:
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "40g")
         self.cores = cores
+        # child stderr to a file, not DEVNULL — a dead child (OOM-kill,
+        # JVM abort) is otherwise undiagnosable
+        self.errlog = f"/tmp/lockstep_child_{cores}.err"
         self.proc = subprocess.Popen(
             [sys.executable, "scripts/_lockstep_child.py", str(cores),
              path, str(warmups)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
+            stderr=open(self.errlog, "w"), text=True, bufsize=1, env=env,
         )
 
     def _read(self) -> str:
         while True:
             line = self.proc.stdout.readline()
             if not line:
-                raise RuntimeError(f"local[{self.cores}] child died")
+                tail = ""
+                try:
+                    with open(self.errlog) as f:
+                        tail = "".join(f.readlines()[-15:])
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"local[{self.cores}] child died; stderr tail:\n{tail}"
+                )
             line = line.strip()
             if line:
                 return line
