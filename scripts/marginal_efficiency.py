@@ -29,10 +29,15 @@ def main() -> None:
     recs = [json.loads(ln) for ln in open(LEDGER)]
     by_docs: dict[int, dict] = {}
     for r in recs:
-        d = by_docs.setdefault(r["docs"], r)
-        # keep the record with the lower 32-leg floor (cleanest session)
-        if r["min_32"] < d["min_32"]:
-            by_docs[r["docs"]] = r
+        # per-LEG minima across replicate sessions at the same size: each
+        # leg's floor is its own cleanest window, sessions differ in when
+        # storms landed — min is min
+        d = by_docs.setdefault(
+            r["docs"],
+            {"docs": r["docs"], "min_8": r["min_8"], "min_32": r["min_32"]},
+        )
+        d["min_8"] = min(d["min_8"], r["min_8"])
+        d["min_32"] = min(d["min_32"], r["min_32"])
     if len(by_docs) < 2:
         sys.exit("need lockstep records at >=2 corpus sizes")
     sizes = sorted(by_docs)
