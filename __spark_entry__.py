@@ -417,6 +417,21 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_quality_quantiles(spark, sf_dir):
+    # per-language quality-score quantiles by exact rank selection —
+    # no interpolation arithmetic, so the double values gate bit-exact
+    # (operators/textstats.py:group_quantiles)
+    from tesseract_recognize_spark.operators.textstats import (
+        group_quantiles,
+        quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    qs = quality_score(docs).select("doc_id", "quality_score")
+    joined = qs.join(docs.select("doc_id", "lang"), "doc_id")
+    return group_quantiles(joined, "lang", "quality_score", "doc_id")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     # per-doc characteristic terms, linear-idf tf·idf rank
     # (operators/textstats.py:tfidf_top_terms)
@@ -656,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_per_group_topn": q_sample_per_group_topn,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_quantiles": q_quality_quantiles,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
         "events_range_counts": q_events_range_counts,
@@ -1049,10 +1065,64 @@ FROM v
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _quality_sql() -> str:
+    """The quality_score SELECT, shared by the quality_score gate and
+    the per-language quantile gate (one definition, two consumers)."""
     all_sw = ", ".join(
         f"'{w}'" for sw in STOPWORDS.values() for w in sw
     )
+    return f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len({_WORDS_SQL})::BIGINT AS n_words,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE
+         AS alpha_ratio,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE
+         AS punct_ratio,
+       len(list_filter({_WORDS_SQL}, x -> list_contains([{all_sw}], x)))::DOUBLE
+         / (CASE WHEN len({_WORDS_SQL}) > 0 THEN len({_WORDS_SQL}) ELSE 1 END)::DOUBLE
+         AS stop_ratio,
+       length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+         / (CASE WHEN len({_WORDS_SQL}) > 0 THEN len({_WORDS_SQL}) ELSE 1 END)::DOUBLE
+         AS mean_word_len,
+       (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE) * 0.4
+       + (len(list_filter({_WORDS_SQL}, x -> list_contains([{all_sw}], x)))::DOUBLE
+          / (CASE WHEN len({_WORDS_SQL}) > 0 THEN len({_WORDS_SQL}) ELSE 1 END)::DOUBLE) * 0.4
+       + (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+          / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE) * 0.2
+       AS quality_score
+FROM documents
+"""
+
+
+def _quality_quantiles_oracle(ps=(0.25, 0.5, 0.75, 0.9)) -> str:
+    ps_list = ", ".join(str(p) for p in ps)
+    return f"""
+WITH qs AS ({_quality_sql()}),
+j AS (
+  SELECT d.lang, q.quality_score, q.doc_id
+  FROM qs q JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT lang, quality_score, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY quality_score ASC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM j
+)
+SELECT lang, p, quantile_value FROM (
+  SELECT lang, quality_score AS quantile_value, rn, cnt,
+         unnest([{ps_list}]::DOUBLE[]) AS p
+  FROM r
+) WHERE rn = floor((cnt - 1) * p) + 1
+"""
+
+
+def oracle_sql() -> dict[str, str]:
     return {
         "trim_normalize": r"""
 SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS text_norm
@@ -1134,31 +1204,8 @@ SELECT vec_id, rank, neighbor_id FROM (
 ) WHERE rank <= 5
 """,
         "langid": _langid_oracle(),
-        "quality_score": f"""
-SELECT doc_id,
-       length(text)::BIGINT AS n_chars,
-       len({_WORDS_SQL})::BIGINT AS n_words,
-       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-         / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE
-         AS alpha_ratio,
-       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-         / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE
-         AS punct_ratio,
-       len(list_filter({_WORDS_SQL}, x -> list_contains([{all_sw}], x)))::DOUBLE
-         / (CASE WHEN len({_WORDS_SQL}) > 0 THEN len({_WORDS_SQL}) ELSE 1 END)::DOUBLE
-         AS stop_ratio,
-       length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
-         / (CASE WHEN len({_WORDS_SQL}) > 0 THEN len({_WORDS_SQL}) ELSE 1 END)::DOUBLE
-         AS mean_word_len,
-       (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-          / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE) * 0.4
-       + (len(list_filter({_WORDS_SQL}, x -> list_contains([{all_sw}], x)))::DOUBLE
-          / (CASE WHEN len({_WORDS_SQL}) > 0 THEN len({_WORDS_SQL}) ELSE 1 END)::DOUBLE) * 0.4
-       + (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-          / (CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END)::DOUBLE) * 0.2
-       AS quality_score
-FROM documents
-""",
+        "quality_score": _quality_sql(),
+        "quality_quantiles": _quality_quantiles_oracle(),
         "token_counts": r"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '\s+'),

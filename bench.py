@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "quality_score",
     "token_counts",
     "tfidf_top_terms",
+    "quality_quantiles",
     "doc_fingerprint",
 ]
 

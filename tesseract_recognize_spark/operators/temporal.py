@@ -131,6 +131,13 @@ def asof_join(
     Spark gives a raw inequality join. Equal-timestamp right rows sort
     before left (<= match) and resolve to the largest ``right_id``.
     """
+    reserved = {"_ts", "_side", "_tie"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with "
+            "internal tag columns — rename them first"
+        )
     src = [(right_id, f"asof_{right_id}"), (right_ts, f"asof_{right_ts}")]
     src += [(c, f"asof_{c}") for c in right_payload]
     payload = [a for _, a in src]
@@ -184,20 +191,17 @@ def range_join_counts(
     aggregated per anchor in the same shuffle round.
     """
     tol_us = int(tolerance_minutes) * 60_000_000
+    # floor division, not cast-truncation: cast rounds toward zero, which
+    # mis-buckets pre-epoch (negative) timestamps
     a = anchors.select(
         F.col(anchor_id).alias("anchor_id"),
         F.col(anchor_ts).alias("a_ts"),
-        (F.col(anchor_ts) / tol_us).cast("bigint").alias("bucket"),
+        F.floor(F.col(anchor_ts) / tol_us).alias("bucket"),
     )
+    bk = F.floor(F.col(probe_ts) / tol_us)
     p = probes.select(
         F.col(probe_ts).alias("p_ts"),
-        F.explode(
-            F.array(
-                (F.col(probe_ts) / tol_us).cast("bigint") - 1,
-                (F.col(probe_ts) / tol_us).cast("bigint"),
-                (F.col(probe_ts) / tol_us).cast("bigint") + 1,
-            )
-        ).alias("bucket"),
+        F.explode(F.array(bk - 1, bk, bk + 1)).alias("bucket"),
     )
     hits = a.join(p, "bucket").where(
         F.abs(F.col("p_ts") - F.col("a_ts")) <= tol_us

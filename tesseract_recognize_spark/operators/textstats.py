@@ -14,6 +14,7 @@ __all__ = [
     "token_counts",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "group_quantiles",
 ]
 
 # tiny per-language stopword lists; the ORDER of languages breaks ties
@@ -168,6 +169,49 @@ def tfidf_top_terms(
             "tf_count",
             "doc_freq",
             "score",
+        )
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Exact per-group quantiles by explicit rank selection: the
+    quantile at p is the value at 1-based rank floor((n-1)·p)+1 in the
+    group's (value, id) order — the LOWER empirical quantile, chosen
+    over interpolated `percentile`/`quantile_cont` because the
+    interpolation a + (b-a)·frac is evaluated in different expression
+    orders across engines (ulp drift breaks a bit-exact gate), while
+    rank selection involves no arithmetic on the values at all.
+
+    Plan shape: one hash(group) exchange serves the rank window, the
+    count window, and the filter; the p-explode multiplies rows only
+    AFTER the two windows, and the filter keeps |groups|·|ps| rows.
+    """
+    wrank = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(id_col)
+    )
+    wcnt = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_col, id_col)
+        .withColumn("rn", F.row_number().over(wrank))
+        .withColumn("cnt", F.count("*").over(wcnt))
+    )
+    return (
+        ranked.select(
+            group_col,
+            value_col,
+            "rn",
+            "cnt",
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        )
+        .where(F.col("rn") == F.floor((F.col("cnt") - 1) * F.col("p")) + 1)
+        .select(
+            group_col, "p", F.col(value_col).alias("quantile_value")
         )
     )
 

@@ -48,8 +48,10 @@ class ParquetTableIO:
     simply overwrites)."""
 
     def __init__(self, root: str) -> None:
+        # no makedirs here: constructing a handle must not touch the
+        # filesystem (routing tests build throwaway handles); the dir is
+        # created at the first write below
         self.root = root
-        os.makedirs(root, exist_ok=True)
 
     @property
     def manifest_path(self) -> str:
@@ -86,6 +88,7 @@ class ParquetTableIO:
             status="committed",
             committed_at=time.time(),
         )
+        os.makedirs(self.root, exist_ok=True)
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(asdict(entry)) + "\n")
             f.flush()
