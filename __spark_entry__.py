@@ -718,10 +718,13 @@ def _extract_full_oracle() -> str:
     return _golden_oracle(GOLDEN_EXTRACT_FULL)
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(bucket_cap: int | None = None) -> str:
     """Shared CTE chain: shingles → base hashes → 16 minhashes → bands →
     distinct LSH candidate pairs (mirrors operators/dedup.py exactly —
-    minhash values are min-over-the-same-multiset on both sides)."""
+    minhash values are min-over-the-same-multiset on both sides).
+    ``bucket_cap`` mirrors ngram_jaccard_pairs' degenerate-bucket cap:
+    band buckets holding more than cap docs are dropped before the
+    candidate self-join (same window count over the same key)."""
     from tesseract_recognize_spark.operators.dedup import MH_P, mh_coeffs
 
     mh_cols = ", ".join(
@@ -736,6 +739,17 @@ def _minhash_ctes() -> str:
         + ")) AS band_hash FROM sigs"
         for b in range(4)
     )
+    if bucket_cap:
+        bands_ctes = f"""bands_all AS ({band_selects}),
+bands AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT doc_id, band_id, band_hash,
+           count(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+    FROM bands_all
+  ) WHERE bsz <= {int(bucket_cap)}
+),"""
+    else:
+        bands_ctes = f"bands AS ({band_selects}),"
     return f"""
 WITH shing AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
@@ -748,7 +762,7 @@ hashed AS (
 sigs AS (
   SELECT doc_id, {mh_cols} FROM hashed
 ),
-bands AS ({band_selects}),
+{bands_ctes}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -762,13 +776,14 @@ def _minhash_lsh_oracle() -> str:
 
 
 def _ngram_jaccard_oracle(
-    threshold: float = 0.8, n_hashes: int = 16, est_min_agree: int = 8
+    threshold: float = 0.8, n_hashes: int = 16, est_min_agree: int = 8,
+    bucket_cap: int | None = 100,
 ) -> str:
     agree = " + ".join(
         f"(sa.mh{i} = sb.mh{i})::INT" for i in range(n_hashes)
     )
     return (
-        _minhash_ctes()
+        _minhash_ctes(bucket_cap=bucket_cap)
         + f""",
 est AS (
   SELECT c.doc_a, c.doc_b
@@ -793,7 +808,8 @@ WHERE jaccard >= {threshold}
 
 
 def _dedup_components_oracle(
-    threshold: float = 0.8, n_hashes: int = 16, est_min_agree: int = 8
+    threshold: float = 0.8, n_hashes: int = 16, est_min_agree: int = 8,
+    bucket_cap: int | None = 100,
 ) -> str:
     """Recursive-CTE reachability closure over the verified Jaccard
     pairs: component_id = min node id reachable — value-for-value the
@@ -801,7 +817,9 @@ def _dedup_components_oracle(
     agree = " + ".join(
         f"(sa.mh{i} = sb.mh{i})::INT" for i in range(n_hashes)
     )
-    ctes = _minhash_ctes().replace("WITH shing", "WITH RECURSIVE shing", 1)
+    ctes = _minhash_ctes(bucket_cap=bucket_cap).replace(
+        "WITH shing", "WITH RECURSIVE shing", 1
+    )
     return (
         ctes
         + f""",

@@ -4,26 +4,42 @@ pairwise dedup verdicts into keep/drop decisions.
 Near-duplicate detection (MinHash-LSH → Jaccard verify, or
 embedding-cosine) emits PAIRS, but a training corpus needs CLUSTERS: if
 A≈B and B≈C, all three are one duplicate group even when (A, C) never
-surfaced as a candidate. This operator computes per-node component ids
-by iterative min-label propagation:
+surfaced as a candidate. Two interchangeable algorithms, same output:
 
-    label(n) ← min(label(n), min over neighbors' labels)
+  * ``algorithm="label"`` — iterative min-label propagation::
 
-repeated to fixpoint. Each round is one join + one map-side-combinable
-min-aggregate — pure DataFrame ops, fully distributed; the driver only
+        label(n) ← min(label(n), min over neighbors' labels)
+
+    repeated to fixpoint. Each round is one join + one
+    map-side-combinable min-aggregate; rounds = graph DIAMETER.
+    Duplicate clusters are near-cliques (LSH bands surface most
+    intra-cluster pairs), so diameter is 2-3 and the loop converges in a
+    handful of rounds — the default for the dedup workload.
+  * ``algorithm="star"`` — the alternating large-star/small-star edge
+    rewrite (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14). Each round rewires edges toward per-neighborhood
+    minima (large-star rewires larger neighbors, small-star collapses
+    the rest), which HALVES remaining tree heights per round instead of
+    shaving one hop: O(log n)-ish rounds on long chains where min-label
+    needs diameter rounds. Same per-round DataFrame shape (self-union,
+    min-aggregate, equi-join), same fixpoint contract — the scale path
+    for adversarial chain/tree topologies at 10^12 edges.
+
+Both are pure DataFrame ops, fully distributed; the driver only
 orchestrates rounds and checks convergence (an intentional sync point,
 the same pattern GraphX/GraphFrames use for iterative algorithms; Spark
 has no native fixpoint operator).
 
-Scale shape: rounds = graph diameter. Duplicate clusters are
-near-cliques (LSH bands surface most intra-cluster pairs), so diameter
-is 2-3 and the loop converges in a handful of rounds. For adversarial
-long-chain graphs at 10^12 edges, swap the propagation body for the
-large-star/small-star rewrite (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) — O(log n) rounds, same per-round
-DataFrame shape, same fixpoint contract. Labels persist per round and
-the superseded generation unpersists immediately, so block-manager
-footprint is one label table, not one per round.
+Lineage/memory discipline: every generation is localCheckpoint(eager)
+(persist alone would cache blocks but the LOGICAL plan still nests every
+prior round — plan-analysis cost compounds per iteration, the classic
+iterative-Spark trap; localCheckpoint truncates lineage to the
+materialized blocks). Superseded generations are rebound and their
+blocks freed by Spark's ContextCleaner once the driver reference drops —
+GC-based cleanup (PySpark exposes no direct unpersist for checkpoint
+blocks); steady-state footprint is O(1) generations alive plus whatever
+the cleaner hasn't yet swept, never the full round history under memory
+pressure (MEMORY_AND_DISK evicts oldest first).
 """
 
 from __future__ import annotations
@@ -33,38 +49,28 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["connected_components"]
 
 
-def connected_components(
-    pairs: DataFrame,
-    src: str = "doc_a",
-    dst: str = "doc_b",
-    max_iter: int = 25,
-) -> DataFrame:
-    """(node, component_id) for every node in ``pairs``; component_id is
-    the minimum node id in the component — deterministic, engine-exact
-    (the DuckDB oracle's recursive reachability closure agrees value for
-    value). Nodes not in any pair are absent (caller coalesces singleton
-    docs to themselves). Raises after ``max_iter`` non-converged rounds
-    rather than returning a partial labeling."""
+def _prep_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct symmetric edge list (u, v); persisted+materialized so the
+    (possibly expensive — e.g. a full Jaccard verify) pair subtree runs
+    once, not per union branch per round."""
     from pyspark import StorageLevel
 
-    # persist the pair list FIRST: the symmetric union references it
-    # twice, and Catalyst does not dedupe the (possibly expensive —
-    # e.g. a full Jaccard verify) subtree across union branches
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         fwd.unionByName(
             pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
         )
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges.count()  # materialize once, before the loop reuses it per round
     pairs.unpersist()
-    # localCheckpoint (not persist) per generation: persist caches blocks
-    # but the LOGICAL plan still nests every prior round — plan analysis
-    # cost compounds per iteration, the classic iterative-Spark trap.
-    # localCheckpoint(eager) truncates lineage to the materialized blocks.
+    return edges
+
+
+def _label_propagation(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         edges.select("u")
         .distinct()
@@ -82,27 +88,123 @@ def connected_components(
     # fixpoint, so convergence is one cheap aggregate per round instead
     # of a changed-rows join
     cur = label_sum(labels)
-    try:
-        for _ in range(max_iter):
-            # neighbor labels flow along every (symmetric) edge, then the
-            # per-node min folds them with the node's own label
-            prop = edges.join(
-                labels, edges["v"] == labels["node"]
-            ).select(edges["u"].alias("node"), "component_id")
-            labels = (
-                labels.unionByName(prop)
-                .groupBy("node")
-                .agg(F.min("component_id").alias("component_id"))
-                .localCheckpoint(eager=True)
-            )
-            new = label_sum(labels)
-            if new == cur:
-                return labels
-            cur = new
-        raise RuntimeError(
-            f"connected_components: no fixpoint in {max_iter} rounds "
-            "(graph diameter exceeds max_iter — raise it, or use a "
-            "large-star/small-star variant for long-chain graphs)"
+    for _ in range(max_iter):
+        # neighbor labels flow along every (symmetric) edge, then the
+        # per-node min folds them with the node's own label
+        prop = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(edges["u"].alias("node"), "component_id")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
         )
+        new = label_sum(labels)
+        if new == cur:
+            return labels
+        cur = new
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iter} rounds "
+        "(graph diameter exceeds max_iter — raise it, or use "
+        'algorithm="star" for long-chain graphs)'
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Rewire every neighbor LARGER than u to u's neighborhood minimum:
+    emit (v, min(Γ⁺(u))) for v ∈ Γ(u), v > u, over the symmetric view."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Collapse each node's SMALLER neighborhood onto its minimum: orient
+    edges big→small, emit (v, min(Γ⁺(u))) for v ∈ Γ⁺(u) \\ {min}."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u
+    withself = oriented.unionByName(
+        oriented.select("u").distinct().select("u", F.col("u").alias("v"))
+    )
+    return (
+        withself.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _alternating_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternate large-star/small-star until the edge set is stable. At
+    the fixpoint the edges form stars (node → component minimum):
+    large-star maps a star to itself and small-star preserves it, so set
+    equality of consecutive generations IS the fixpoint test (checked
+    exactly: equal counts + empty exceptAll — both generations are
+    distinct edge sets)."""
+    cur = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            return nxt.select(
+                F.col("u").alias("node"), F.col("v").alias("component_id")
+            ).unionByName(
+                nxt.select(
+                    F.col("v").alias("node"),
+                    F.col("v").alias("component_id"),
+                ).distinct()
+            )
+        cur = nxt
+    raise RuntimeError(
+        f"connected_components: star rewrite did not stabilize in "
+        f"{max_iter} rounds (expected O(log n) — raise max_iter)"
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """(node, component_id) for every node in ``pairs``; component_id is
+    the minimum node id in the component — deterministic, engine-exact
+    (the DuckDB oracle's recursive reachability closure agrees value for
+    value), identical for both algorithms. Nodes not in any pair are
+    absent (caller coalesces singleton docs to themselves). Raises after
+    ``max_iter`` non-converged rounds rather than returning a partial
+    labeling. ``algorithm``: "label" (min-label propagation, rounds =
+    diameter — the near-clique dedup default) or "star" (alternating
+    large-star/small-star, O(log n)-ish rounds — long-chain graphs)."""
+    if algorithm not in ("label", "star"):
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            '(expected "label" or "star")'
+        )
+    edges = _prep_edges(pairs, src, dst)
+    try:
+        if algorithm == "star":
+            return _alternating_star(edges, max_iter)
+        return _label_propagation(edges, max_iter)
     finally:
         edges.unpersist()

@@ -20,7 +20,9 @@ Scale notes (the 100-TB arguments):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from tesseract_recognize_spark.caching import finalize_and_unpersist
 
 __all__ = [
     "hash64_expr",
@@ -210,6 +212,7 @@ def ngram_jaccard_pairs(
     n_hashes: int = 16,
     band_size: int = 4,
     est_min_agree: int = 8,
+    bucket_cap: int | None = 100,
 ) -> DataFrame:
     """Near-duplicate pairs: exact character n-gram Jaccard verification of
     the MinHash-LSH candidate pairs.
@@ -241,10 +244,12 @@ def ngram_jaccard_pairs(
     Caching note: ``sigs`` and ``prefiltered`` are persisted
     (MEMORY_AND_DISK) because each feeds multiple consumers that Catalyst
     does not deduplicate under AQE (measured round 2: the shingle-explode
-    + 16-aggregate pipeline re-executed per consumer). The caller owns
-    cleanup for long-lived sessions: ``spark.catalog.clearCache()`` after
-    the result materializes (bench.py does this between passes), or at
-    10^12 docs write ``sigs`` to a checkpoint table instead.
+    + 16-aggregate pipeline re-executed per consumer). The OPERATOR owns
+    cleanup (round-4 invariant): the verified pair list — bounded by the
+    duplicate rate, not the corpus — materializes eagerly and both
+    intermediates unpersist before return
+    (``caching.finalize_and_unpersist``). At 10^12 docs write ``sigs`` to
+    a checkpoint table instead of block-manager persist.
     """
     from pyspark import StorageLevel
 
@@ -272,6 +277,27 @@ def ngram_jaccard_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    if bucket_cap:
+        # Degenerate-bucket cap: a band bucket holding b documents yields
+        # O(b²) candidate pairs in the self-join below — on a templated
+        # corpus (boilerplate pages hashing to one band value) a single
+        # mega-bucket at 10^12 docs is THE quadratic failure mode, and the
+        # pairs it emits are boilerplate coincidences the est_min_agree
+        # prefilter kills anyway. Buckets larger than bucket_cap are
+        # dropped wholesale BEFORE the join: one window count over the
+        # same (band_id, band_hash) key the join shuffles on, so the cap
+        # rides the join's own exchange. Recall note: a true near-dup
+        # pair is lost only if EVERY band it agrees on is a mega-bucket —
+        # at the default (4 bands, cap 100) that means the pair lives
+        # exclusively inside >cap-sized boilerplate clusters, which exact
+        # dedup / minhash_lsh_pairs already handle; the DuckDB oracle
+        # mirrors the cap bit-for-bit (QUALIFY count(*) over the bucket).
+        wb = Window.partitionBy("band_id", "band_hash")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= int(bucket_cap))
+            .drop("_bsz")
+        )
     left, right = bands.alias("a"), bands.alias("b")
     agree = None
     for i in range(n_hashes):
@@ -316,6 +342,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
-    return joined.select(
+    verified = joined.select(
         "doc_a", "doc_b", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+    return finalize_and_unpersist(verified, [sigs, prefiltered])

@@ -19,6 +19,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from tesseract_recognize_spark.caching import finalize_and_unpersist
+
 __all__ = [
     "cosine_sim",
     "brute_force_topk",
@@ -231,9 +233,12 @@ def lsh_topk(
     # cost per execution at ANY data size) and the projection itself runs
     # twice. Persisted, the downstream plan sees a small InMemoryRelation
     # leaf and the projection runs once. Footprint is the vector table +
-    # (norm, buckets) — MEMORY_AND_DISK spills gracefully; the caller owns
-    # cleanup in long-lived sessions (spark.catalog.clearCache(), as
-    # bench.py does between passes), mirroring dedup's signature table.
+    # (norm, buckets) — MEMORY_AND_DISK spills gracefully. The OPERATOR
+    # owns cleanup (round-4 invariant): the bounded top-k result is
+    # materialized eagerly and `base` is unpersisted before returning —
+    # see caching.finalize_and_unpersist. At 10^12 rows, the same note as
+    # dedup's signature table applies: write the projection to a
+    # checkpoint TABLE instead of block-manager persist.
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -256,7 +261,7 @@ def lsh_topk(
         pairs = pairs.groupBy("vec_id", "neighbor_id").agg(
             F.max("sim").alias("sim")
         )
-    return two_phase_topk(pairs, k)
+    return finalize_and_unpersist(two_phase_topk(pairs, k), [base])
 
 
 def ivf_topk(
@@ -303,8 +308,9 @@ def ivf_topk(
 
     Output: (vec_id, rank, neighbor_id) — floats stay internal, like
     every ANN operator here. The assigned projection feeds both join
-    sides and is persisted (caller owns cleanup in long-lived sessions,
-    as with lsh_topk).
+    sides and is persisted; the operator owns the cleanup — the top-k
+    result materializes eagerly and the projection unpersists before
+    return (as with lsh_topk).
     """
     from pyspark import StorageLevel
 
@@ -354,7 +360,7 @@ def ivf_topk(
         F.col("c.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
     )
-    return two_phase_topk(pairs, k)
+    return finalize_and_unpersist(two_phase_topk(pairs, k), [assigned])
 
 
 def embedding_cosine_pairs(
@@ -378,8 +384,9 @@ def embedding_cosine_pairs(
     P[all agree] = (1 - θ/π)^bits, high exactly for the near-parallel
     pairs dedup cares about); ``bits`` trades recall for candidate
     volume. The bucketed+normed projection is persisted for the same
-    reason as in lsh_topk (feeds both self-join sides; caller owns
-    cleanup in long-lived sessions).
+    reason as in lsh_topk (feeds both self-join sides); the operator
+    owns the cleanup — the thresholded pair list materializes eagerly
+    and the projection unpersists before return.
     """
     from pyspark import StorageLevel
 
@@ -396,7 +403,7 @@ def embedding_cosine_pairs(
     sim = F.expr(_dot_sql("a.v", "b.v", dim)) / (
         F.col("a.norm") * F.col("b.norm")
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -408,3 +415,4 @@ def embedding_cosine_pairs(
             F.col("b.vec_id").alias("vec_b"),
         )
     )
+    return finalize_and_unpersist(pairs, [base])

@@ -46,3 +46,83 @@ def test_max_iter_raises_instead_of_partial(spark):
         connected_components(
             _pairs(spark, [(4, 3), (3, 2), (2, 1)]), max_iter=1
         )
+
+
+def test_unknown_algorithm_raises(spark):
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # chain
+        [(5, 4), (4, 3), (3, 2), (2, 1)],
+        # clique with redundant/reversed edges (the LSH-pair shape)
+        [(5, 6), (6, 7), (5, 7), (7, 5), (5, 6)],
+        # mixed: chain + clique + isolated pair
+        [(10, 9), (9, 8), (8, 7), (1, 2), (20, 21), (21, 22), (20, 22)],
+    ],
+)
+def test_star_equals_label(spark, edges):
+    """The alternating large-star/small-star rewrite must produce the
+    identical (node → component-min) labeling as min-label propagation
+    on every topology."""
+    a = {
+        r["node"]: r["component_id"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="label"
+        ).collect()
+    }
+    b = {
+        r["node"]: r["component_id"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="star"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_star_equals_label_random_graph(spark):
+    """Seeded random graph: same labeling from both algorithms."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    a = {
+        r["node"]: r["component_id"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="label"
+        ).collect()
+    }
+    b = {
+        r["node"]: r["component_id"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="star"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_star_converges_on_long_chain_where_label_cannot(spark):
+    """A 1000-node chain has diameter 999: min-label propagation needs
+    ~999 rounds (raises at max_iter=25), while the star rewrite halves
+    remaining heights per round and converges within the same budget —
+    the 10^12-edge adversarial-topology scale path."""
+    chain = [(i + 1, i) for i in range(999)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(
+            _pairs(spark, [(i + 1, i) for i in range(40)]), max_iter=25
+        )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(
+            _pairs(spark, chain), algorithm="star", max_iter=25
+        ).collect()
+    }
+    assert len(got) == 1000
+    assert set(got.values()) == {0}

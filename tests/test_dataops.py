@@ -321,3 +321,36 @@ def test_audio_features_decode_and_quarantine(spark):
     assert ok.features == [int(x) for x in expect]
     bad = out["a://bad"]
     assert bad.error is not None and bad.features is None
+
+
+def test_ngram_jaccard_mega_bucket_cap(spark):
+    """Degenerate-bucket cap: a templated corpus collapses into one LSH
+    band bucket per band; uncapped, a bucket of b docs yields O(b²)
+    candidate pairs — the 10^12-row quadratic failure mode. With
+    bucket_cap set (the default), over-cap buckets are dropped wholesale
+    BEFORE the self-join, so the boilerplate clique contributes zero
+    pairs while genuine small-cluster duplicates still verify."""
+    template = [(i, "identical boilerplate page body text", "en")
+                for i in range(300)]
+    genuine = [
+        (1000, "unique snowflake document alpha variant", "en"),
+        (1001, "unique snowflake document alpha variant", "en"),
+        (2000, "another distinct duplicate cluster beta", "en"),
+        (2001, "another distinct duplicate cluster beta", "en"),
+    ]
+    docs = spark.createDataFrame(
+        template + genuine, ["doc_id", "text", "lang"]
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.8, bucket_cap=100
+        ).collect()
+    }
+    assert capped == {(1000, 1001), (2000, 2001)}
+    # sanity: the cap (not the verify) is what bounds the clique — a cap
+    # above the clique size re-admits its ~45k pairs
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.8, bucket_cap=None
+    ).count()
+    assert uncapped == 300 * 299 // 2 + 2
