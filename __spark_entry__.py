@@ -501,6 +501,26 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_sessionize_salted(spark, sf_dir):
+    # the skew path: pre-sessionize under a derived (user, time-chunk)
+    # salt, aggregate sub-sessions, merge per user — identical output to
+    # the unsalted path (same oracle SQL), without the one-task-per-hot-
+    # user straggler at 10^12 events
+    from tesseract_recognize_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(
+        ev, gap_minutes=360, salt_chunk_minutes=1440
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value_cents",
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     # as-of join via the union+window idiom (operators/temporal.py):
     # each click attributed to the user's latest prior-or-equal purchase
@@ -673,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "quality_quantiles": q_quality_quantiles,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_salted": q_events_sessionize_salted,
         "events_asof_join": q_events_asof_join,
         "events_range_counts": q_events_range_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1141,7 +1162,7 @@ SELECT lang, p, quantile_value FROM (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "trim_normalize": r"""
 SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS text_norm
 FROM documents
@@ -1395,3 +1416,7 @@ SELECT concat('media://doc-', doc_id, '/png') AS media_ref,
 FROM documents, range(0, 64) t(k)
 """,
     }
+    # the salted skew path must produce the IDENTICAL sessions — one
+    # oracle string serves both (the whole point of the pin)
+    oracles["events_sessionize_salted"] = oracles["events_sessionize"]
+    return oracles

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "sample_per_group_topn",
     "events_sessionize",
+    "events_sessionize_salted",
     "events_asof_join",
     "events_range_counts",
     "langid",

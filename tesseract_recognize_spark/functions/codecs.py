@@ -64,6 +64,11 @@ def ppm_decode(data: bytes) -> np.ndarray:
         raise ValueError("not a binary netpbm stream (want P5/P6)")
     nch = 1 if magic == b"P5" else 3
     (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
+    if w == 0 or h == 0:
+        # digit-only header tokens admit 0; a (h, 0) raster decodes
+        # "successfully" and then poisons downstream pooling with NaNs —
+        # reject here so it quarantines like every other malformed raster
+        raise ValueError(f"bad netpbm dimensions {w}x{h}")
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported netpbm maxval {maxval}")
     pos += 1  # exactly one whitespace byte after maxval, then raster
@@ -220,6 +225,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
                 "inject a codec for LZW/JPEG/deflate)"
             )
         w, h = tags["width"][0], tags["height"][0]
+        if w == 0 or h == 0:
+            raise ValueError(f"bad TIFF dimensions {w}x{h}")
         spp = tags.get("spp", [1])[0]
         bits = tags.get("bits", [8])
         if any(b != 8 for b in bits):

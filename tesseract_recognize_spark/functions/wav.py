@@ -59,10 +59,15 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
         n_ch, rate = fmt
         if n_ch < 1:
             raise ValueError("WAV channel count < 1")
-        arr = np.frombuffer(
-            samples[: len(samples) - (len(samples) % (2 * n_ch))],
-            dtype="<i2",
-        )
+        if len(samples) % (2 * n_ch) != 0:
+            # consistent with the module contract: ALL malformed input
+            # raises ValueError (a partial trailing frame is truncation,
+            # same as a short raster in the image codecs)
+            raise ValueError(
+                "WAV data chunk truncated (partial trailing frame: "
+                f"{len(samples)} bytes, frame size {2 * n_ch})"
+            )
+        arr = np.frombuffer(samples, dtype="<i2")
         if n_ch > 1:
             arr = arr.reshape(-1, n_ch)
         return rate, arr

@@ -67,6 +67,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    salt_chunk_minutes: int | None = None,
 ) -> DataFrame:
     """Gap-based sessions: a new session starts when a user's
     inter-event gap exceeds ``gap_minutes``.
@@ -74,13 +75,35 @@ def sessionize(
     Output: (user_id, session_seq, session_start_us, session_end_us,
     n_events, sum_value_cents), session_seq 1-based in time order.
 
-    Plan shape: one Exchange hash(user_id); the two windows (gap flag,
-    running counter) and the (user_id, session_seq) hash aggregate all
-    reuse it — partitioning by user_id clusters every (user_id,
-    session_seq) group, so the group-by's ClusteredDistribution is
-    already satisfied. Ordering ties break on event_id; value sums are
-    integer cents (double sums are addition-order-dependent across
-    engines, int sums are not).
+    Plan shape (default path): one Exchange hash(user_id); the two
+    windows (gap flag, running counter) and the (user_id, session_seq)
+    hash aggregate all reuse it — partitioning by user_id clusters every
+    (user_id, session_seq) group, so the group-by's
+    ClusteredDistribution is already satisfied. Ordering ties break on
+    event_id; value sums are integer cents (double sums are
+    addition-order-dependent across engines, int sums are not).
+
+    Skew path (``salt_chunk_minutes`` set): partitioning by user alone
+    puts ALL of a power user's events in one task — one hot key at 10^12
+    events is one straggler. The salted path is the two-level discipline
+    extract_full uses for media skew:
+      1. pre-sessionize per (user, time-chunk): the salt is
+         floor(ts_us / chunk) — a DERIVED key, so no second pass is
+         needed to learn which users are hot; every user's events spread
+         across ceil(active-span / chunk) tasks. Chunk-boundary splits
+         are deliberate oversplits;
+      2. aggregate each sub-session to ONE row (start, end, n, cents) —
+         the heavy reduction happens under the salted key;
+      3. merge sub-sessions per user: consecutive sub-sessions with
+         start - prev_end <= gap fuse. Between two time-adjacent
+         sub-sessions of one user there are no other events, so the
+         inter-sub-session gap IS the inter-event gap the unsalted rule
+         tests — outputs are identical row-for-row (pinned by
+         tests/test_temporal_salted.py). The merge window sees
+         SUB-SESSION rows (bounded by active-span / chunk per user),
+         never raw events — the straggler is gone.
+    Identical timestamps land in the same chunk, so tie ordering never
+    crosses a chunk boundary and the event_id tiebreak stays local.
     """
     gap_us = int(gap_minutes) * 60_000_000
     ev = events.select(
@@ -90,6 +113,44 @@ def sessionize(
         F.round(F.col(value_col) * 100).cast("bigint").alias("value_cents"),
     )
     order = [F.asc("ts_us"), F.asc("event_id")]
+    if salt_chunk_minutes:
+        chunk_us = int(salt_chunk_minutes) * 60_000_000
+        # floor division (not cast-truncation) — pre-epoch safe, same
+        # rule as range_join_counts' bucketing
+        ev = ev.withColumn("_chunk", F.floor(F.col("ts_us") / chunk_us))
+        w1 = Window.partitionBy("user_id", "_chunk").orderBy(*order)
+        prev1 = F.lag("ts_us").over(w1)
+        new_sub = F.when(
+            prev1.isNull() | (F.col("ts_us") - prev1 > gap_us), 1
+        ).otherwise(0)
+        run1 = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        subs = (
+            ev.withColumn("_sub", F.sum(new_sub).over(run1))
+            .groupBy("user_id", "_chunk", "_sub")
+            .agg(
+                F.min("ts_us").alias("_s"),
+                F.max("ts_us").alias("_e"),
+                F.count("*").alias("_n"),
+                F.sum("value_cents").alias("_c"),
+            )
+        )
+        # merge pass over sub-session rows: tiny per user by construction
+        w2 = Window.partitionBy("user_id").orderBy(F.asc("_s"), F.asc("_e"))
+        prev_e = F.lag("_e").over(w2)
+        new_sess = F.when(
+            prev_e.isNull() | (F.col("_s") - prev_e > gap_us), 1
+        ).otherwise(0)
+        run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            subs.withColumn("session_seq", F.sum(new_sess).over(run2))
+            .groupBy("user_id", "session_seq")
+            .agg(
+                F.min("_s").alias("session_start_us"),
+                F.max("_e").alias("session_end_us"),
+                F.sum("_n").alias("n_events"),
+                F.sum("_c").alias("sum_value_cents"),
+            )
+        )
     w = Window.partitionBy("user_id").orderBy(*order)
     prev = F.lag("ts_us").over(w)
     new_session = F.when(

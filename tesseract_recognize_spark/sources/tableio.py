@@ -177,15 +177,29 @@ _FILE_EXTENSIONS = frozenset(
 
 
 def get_table_io(target: str):
-    """Route by target shape: a catalog identifier — 'catalog.db.table'
-    (two dots) or 'db.table' (one dot, resolved against the session
-    default catalog), every segment a valid identifier, no path
-    separator, last segment NOT a known file extension → IcebergTableIO;
-    anything else, including filenames like 'out.parquet'/'results.db'
-    or a bare directory name, → ParquetTableIO. The extension list keeps
-    extension-bearing paths from being misrouted to a (possibly
-    unconfigured) Iceberg catalog while still accepting the two-part
-    identifiers Iceberg users actually write."""
+    """Route by target shape, with two UNAMBIGUOUS spellings that always
+    win over the heuristic (the extension list below is inherently
+    incomplete — these are the escape hatches):
+
+      * ``iceberg:db.table`` — explicit Iceberg, any identifier;
+      * ``./out.data`` / ``file:out.data`` — explicit path: a leading
+        ``./`` (or ``file:`` prefix) forces ParquetTableIO for dotted
+        directory names the heuristic would otherwise send to a possibly
+        unconfigured catalog.
+
+    Heuristic for bare targets: a catalog identifier —
+    'catalog.db.table' (two dots) or 'db.table' (one dot, resolved
+    against the session default catalog), every segment a valid
+    identifier, no path separator, last segment NOT a known file
+    extension → IcebergTableIO; anything else, including filenames like
+    'out.parquet'/'results.db' or a bare directory name, →
+    ParquetTableIO."""
+    if target.startswith("iceberg:"):
+        return IcebergTableIO(target[len("iceberg:"):])
+    if target.startswith("file:"):
+        return ParquetTableIO(target[len("file:"):])
+    if target.startswith("./") or target.startswith(".." + os.sep):
+        return ParquetTableIO(target)
     parts = target.split(".")
     is_ident = all(
         p and p.replace("_", "a").replace("-", "a").isalnum() for p in parts

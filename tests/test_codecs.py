@@ -251,3 +251,56 @@ def test_wav_sniffed():
 
     assert sniff_mime(wav_encode(np.zeros(4, np.int16))) == "audio/x-wav"
     assert sniff_mime(b"RIFF0000AVI ") is None
+
+
+def test_ppm_zero_dimension_raises():
+    # 'P5\n0 5\n255\n' has digit-only tokens but a degenerate raster —
+    # must quarantine (ValueError), not decode to a (5,0) array whose
+    # mean-pool yields NaN features (round-4 advisor)
+    import pytest
+
+    from tesseract_recognize_spark.functions.codecs import ppm_decode
+
+    for hdr in (b"P5\n0 5\n255\n", b"P5\n5 0\n255\n", b"P6\n0 0\n255\n"):
+        with pytest.raises(ValueError, match="dimensions"):
+            ppm_decode(hdr)
+
+
+def test_tiff_zero_dimension_raises():
+    import pytest
+
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    good = tiff_encode(np.arange(12, dtype=np.uint8).reshape(3, 4))
+    # patch the width tag's value to 0: find the 4-byte little-endian
+    # width (tag 256) value in the IFD — simpler: encode a 0-width image
+    # is impossible via numpy, so corrupt by replacing the first
+    # occurrence of the width value bytes after the IFD starts
+    with pytest.raises(ValueError, match="dimensions|range|truncated"):
+        tiff_decode(good.replace((4).to_bytes(4, "little"), (0).to_bytes(4, "little"), 1))
+
+
+def test_wav_partial_trailing_frame_raises():
+    # all-malformed-input-raises contract: a data chunk that is not a
+    # whole number of frames is truncation, not tolerance (round-4
+    # advisor)
+    import pytest
+
+    from tesseract_recognize_spark.functions.wav import wav_decode, wav_encode
+
+    good = wav_encode(np.zeros((8, 2), dtype=np.int16), rate=8000)
+    clipped = good[:-1]  # drop one byte of the final stereo frame
+    # fix the RIFF/data sizes so only the frame alignment is wrong
+    import struct
+
+    body = bytearray(clipped)
+    body[4:8] = struct.pack("<I", len(body) - 8)
+    data_pos = bytes(body).index(b"data")
+    body[data_pos + 4 : data_pos + 8] = struct.pack(
+        "<I", len(body) - data_pos - 8
+    )
+    with pytest.raises(ValueError, match="partial trailing frame"):
+        wav_decode(bytes(body))

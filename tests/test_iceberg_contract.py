@@ -171,3 +171,17 @@ def test_routing():
     assert isinstance(get_table_io("/abs/path/out"), ParquetTableIO)
     assert isinstance(get_table_io("plain_dir"), ParquetTableIO)
     assert isinstance(get_table_io("a/b.tbl"), ParquetTableIO)
+
+
+def test_routing_explicit_prefixes_beat_heuristic():
+    # escape hatches (round-4 advisor: the extension list is inherently
+    # incomplete) — explicit spellings always win
+    io = get_table_io("iceberg:run.v2")
+    assert isinstance(io, IcebergTableIO) and io.table == "run.v2"
+    io = get_table_io("file:out.data")
+    assert isinstance(io, ParquetTableIO)
+    assert isinstance(get_table_io("./out.data"), ParquetTableIO)
+    assert isinstance(get_table_io("./run.v2"), ParquetTableIO)
+    # undecorated dotted non-extension name still routes to Iceberg
+    # (documented heuristic) — the hatches above are the way out
+    assert isinstance(get_table_io("run.v2"), IcebergTableIO)

@@ -226,3 +226,179 @@ def test_explode_spans_pageset_seeded_sweep(spark):
             # renumber-consecutive: survivors' media_idx == 1..n_media
             midx = [r[3] for r in sorted(have) if r[1] == "media"]
             assert midx == list(range(1, len(midx) + 1)), (spec, doc_id)
+
+
+# ---------------------------------------------------------------------------
+# Temporal trio vs brute-force Python models (round-4 ask #7): seeded
+# random sweeps engineered to hit the semantic cliff edges — exactly-gap
+# spacing (NOT a new session: the rule is >), duplicate timestamps,
+# no-prior-right-row as-of NULLs, range-join inclusivity at |dt| == tol,
+# and pre-epoch (negative) timestamps exercising floor-division
+# bucketing. One Spark action per scenario (hypothesis would respawn
+# plans per example; a seeded sweep keeps the suite fast).
+# ---------------------------------------------------------------------------
+
+
+def _ts_pool(rng, gap_us):
+    """Timestamps as multiples of gap/4 spanning both sides of the epoch:
+    exact-gap spacings and duplicates occur by construction."""
+    q = gap_us // 4
+    return [rng.randrange(-40, 40) * q for _ in range(8)]
+
+
+def _model_sessions(events, gap_us):
+    """events: [(user, ts_us, event_id, cents)] → set of result tuples."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, eid, c in events:
+        by_user[u].append((ts, eid, c))
+    rows = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        cur = None  # (start, end, n, cents)
+        prev_ts = None
+        for ts, _eid, c in evs:
+            if prev_ts is None or ts - prev_ts > gap_us:
+                if cur:
+                    rows.add((u, seq) + cur[:2] + cur[2:])
+                seq += 1
+                cur = (ts, ts, 1, c)
+            else:
+                cur = (cur[0], ts, cur[2] + 1, cur[3] + c)
+            prev_ts = ts
+        if cur:
+            rows.add((u, seq) + cur[:2] + cur[2:])
+    return rows
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sessionize_matches_model_sweep(spark, seed):
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row, types as T
+
+    from tesseract_recognize_spark.operators.temporal import sessionize
+
+    rng = random.Random(seed)
+    gap_us = 360 * 60_000_000
+    events = []
+    eid = 0
+    for u in range(12):
+        pool = _ts_pool(rng, gap_us)
+        for _ in range(rng.randrange(1, 30)):
+            ts = rng.choice(pool)  # duplicates + exact-gap spacings
+            cents = rng.randrange(0, 5000)
+            events.append((u, ts, eid, cents))
+            eid += 1
+    epoch = datetime(1970, 1, 1)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            Row(event_id=e, ts=epoch + timedelta(microseconds=ts),
+                user_id=u, value=c / 100.0)
+            for (u, ts, e, c) in events
+        ],
+        schema,
+    )
+    expect = _model_sessions(events, gap_us)
+    for salt in (None, 1440, 240):
+        got = {
+            (r["user_id"], r["session_seq"], r["session_start_us"],
+             r["session_end_us"], r["n_events"], r["sum_value_cents"])
+            for r in sessionize(
+                df, gap_minutes=360, salt_chunk_minutes=salt
+            ).collect()
+        }
+        assert got == expect, f"salt={salt}"
+
+
+def _model_asof(lefts, rights):
+    """lefts: [(key, ts, id)]; rights: [(key, ts, id, payload)] →
+    {left_id: (right_id, right_ts, payload) or (None, None, None)}."""
+    out = {}
+    for k, lts, lid in lefts:
+        cands = [r for r in rights if r[0] == k and r[1] <= lts]
+        if not cands:
+            out[lid] = (None, None, None)
+        else:
+            best = max(cands, key=lambda r: (r[1], r[2]))
+            out[lid] = (best[2], best[1], best[3])
+    return out
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("seed", [4, 5, 6])
+def test_asof_join_matches_model_sweep(spark, seed):
+    import random
+
+    from tesseract_recognize_spark.operators.temporal import asof_join
+
+    rng = random.Random(seed)
+    tick = 1_000_000
+    lefts, rights = [], []
+    lid, rid = 0, 10_000
+    for k in range(8):
+        pool = [rng.randrange(-30, 30) * tick for _ in range(6)]
+        for _ in range(rng.randrange(1, 12)):
+            lefts.append((k, rng.choice(pool), lid)); lid += 1
+        # some keys get NO right rows at all (all-NULL as-of)
+        for _ in range(rng.randrange(0, 8) if k % 3 else 0):
+            # duplicate right timestamps: tie → largest event_id
+            rights.append((k, rng.choice(pool), rid, rid * 7)); rid += 1
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in lefts],
+        "user_id: long, ts_us: long, event_id: long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, i, p) for k, ts, i, p in rights],
+        "user_id: long, ts_us: long, event_id: long, payload: long",
+    )
+    got = {
+        r["event_id"]: (
+            r["asof_event_id"], r["asof_ts_us"], r["asof_payload"]
+        )
+        for r in asof_join(
+            ldf, rdf, on="user_id", right_payload=("payload",)
+        ).collect()
+    }
+    assert got == _model_asof(lefts, rights)
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("seed", [7, 8])
+def test_range_join_counts_matches_model_sweep(spark, seed):
+    import random
+
+    from tesseract_recognize_spark.operators.temporal import (
+        range_join_counts,
+    )
+
+    rng = random.Random(seed)
+    tol_us = 10 * 60_000_000
+    q = tol_us // 2  # half-tol multiples → |dt| == tol occurs exactly
+    anchors = [
+        (i, rng.randrange(-20, 20) * q) for i in range(60)
+    ]
+    probes = [rng.randrange(-20, 20) * q for _ in range(300)]
+    adf = spark.createDataFrame(anchors, "event_id: long, ts_us: long")
+    pdf = spark.createDataFrame(
+        [(t,) for t in probes], "ts_us: long"
+    )
+    got = {
+        r["anchor_id"]: r["n_within"]
+        for r in range_join_counts(adf, pdf, tolerance_minutes=10).collect()
+    }
+    expect = {
+        i: sum(1 for t in probes if abs(t - ts) <= tol_us)
+        for i, ts in anchors
+    }
+    assert got == expect
