@@ -4,11 +4,12 @@ uncompressed BMP, plus container sniffing.
 The reference decodes any raster Leptonica knows via `pixRead`
 (tesseract-recognize.cc:513-531); this container ships no image
 libraries, so the formats that ARE stdlib-decodable get real decoders
-(PNG in functions/png.py; netpbm, BI_RGB BMP and uncompressed baseline
-TIFF here, from the public netpbm man pages, the Windows BMP file-format
-spec and the TIFF 6.0 specification) and everything else (JPEG,
-TIFF-with-compression, ...) stays behind the injectable-codec seam in
-operators/multimodal.py.
+(PNG in functions/png.py; baseline-sequential JPEG in
+functions/jpeg.py; netpbm, BI_RGB BMP and uncompressed baseline TIFF
+here, from the public netpbm man pages, the Windows BMP file-format
+spec and the TIFF 6.0 specification) and everything else (progressive
+JPEG, TIFF-with-compression, ...) stays behind the injectable-codec
+seam in operators/multimodal.py.
 
 All decoders raise ValueError on malformed or unsupported input — never
 struct.error/IndexError — so the quarantine path upstream can key on one
@@ -306,6 +307,8 @@ def sniff_mime(payload: bytes) -> str | None:
         return "image/bmp"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "image/tiff"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/x-wav"
     if payload[:4] == b"IMG1":
@@ -314,9 +317,9 @@ def sniff_mime(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Default codec chain: PNG → netpbm → BMP → uncompressed TIFF;
-    ValueError otherwise (JPEG, compressed TIFF, ... need an injected
-    codec in this container)."""
+    """Default codec chain: PNG → netpbm → BMP → uncompressed TIFF →
+    baseline JPEG; ValueError otherwise (progressive JPEG, compressed
+    TIFF, ... need an injected codec in this container)."""
     mime = sniff_mime(payload)
     if mime == "image/png":
         return png_decode(payload)
@@ -326,8 +329,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return bmp_decode(payload)
     if mime == "image/tiff":
         return tiff_decode(payload)
+    if mime == "image/jpeg":
+        from tesseract_recognize_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     raise ValueError(
         "no stdlib codec for payload (supported: PNG, binary PPM/PGM, "
-        "uncompressed BMP, uncompressed TIFF); inject one (e.g. "
-        "PIL.Image.open) or use fake_codec"
+        "uncompressed BMP, uncompressed TIFF, baseline JPEG); inject one "
+        "(e.g. PIL.Image.open) or use fake_codec"
     )

@@ -3,9 +3,11 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested. The
-default codec chain decodes PNG, binary PPM/PGM and uncompressed BMP for
-real (pure stdlib, functions/png.py + functions/codecs.py); formats that
-are not stdlib-decodable (JPEG, compressed TIFF, ...) stay behind the
+default codec chain decodes PNG, baseline JPEG, binary PPM/PGM,
+uncompressed BMP and uncompressed TIFF for real (pure stdlib,
+functions/png.py + functions/jpeg.py + functions/codecs.py); formats
+that are not stdlib-decodable (progressive JPEG, compressed TIFF,
+video containers, ...) stay behind the
 injectable-codec seam because no image/audio libraries ship in this
 container, and ``fake_codec`` provides the deterministic stand-in used by
 tests (it parses the synthetic payload header). Undecodable payloads are
@@ -81,12 +83,13 @@ def decode_image_features(
     Input: (media_ref string, payload binary). Output: metadata struct
     fields + a mean-pooled ``resize_to``×``resize_to`` grayscale feature
     vector (array<double>) + an ``error`` column. With ``codec=None``
-    PNG, binary PPM/PGM and uncompressed BMP payloads decode for real via
-    the pure-stdlib codec chain (functions/png.py + functions/codecs.py —
+    PNG, baseline JPEG, binary PPM/PGM, uncompressed BMP and
+    uncompressed TIFF payloads decode for real via the pure-stdlib codec
+    chain (functions/png.py + functions/jpeg.py + functions/codecs.py —
     the reference's pixRead analog, tesseract-recognize.cc:513-531);
-    other formats (JPEG, compressed TIFF, ...) still need an injected
-    codec (no image libraries ship in this container). ``mime`` reflects
-    the DETECTED container, not the claimed one.
+    the remaining formats (progressive JPEG, compressed TIFF, ...) still
+    need an injected codec (no image libraries ship in this container).
+    ``mime`` reflects the DETECTED container, not the claimed one.
 
     Malformed payloads are quarantined per row (the ocr_expand
     level='error' discipline): the row survives with NULL metadata/

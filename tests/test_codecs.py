@@ -128,9 +128,15 @@ def test_sniff_and_decode_chain():
         assert sniff_mime(payload) == mime
         assert decode_image(payload).shape == shape
     assert sniff_mime(b"IMG1xxxx") == "image/x-synthetic"
-    assert sniff_mime(b"\xff\xd8\xff\xe0jpeg") is None
-    with pytest.raises(ValueError, match="no stdlib codec"):
+    # JPEG now sniffs and routes to the stdlib baseline decoder
+    # (functions/jpeg.py); a truncated stream still quarantines via
+    # ValueError, and truly unknown containers keep the old message.
+    assert sniff_mime(b"\xff\xd8\xff\xe0jpeg") == "image/jpeg"
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg")
+    assert sniff_mime(b"GIF89a\x00\x00") is None
+    with pytest.raises(ValueError, match="no stdlib codec"):
+        decode_image(b"GIF89a\x00\x00")
 
 
 def test_cross_codec_pixel_equality():
