@@ -309,36 +309,73 @@ def lsh_topk(
     bucket in ANY table (explode over (table, bucket), equi-join on both,
     dedup pairs with a max-aggregate before the re-rank). Recall rises
     roughly as 1-(1-p^bits)^T for per-plane agreement p; cost rises ~T×
-    in bucket-join fan-out, still never the O(n²) cross product."""
-    base = (
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        # buckets AND norm computed once per vector, pre-join — the join
-        # hot loop is then a single unrolled dot product + one divide
-        .withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
+    in bucket-join fan-out, still never the O(n²) cross product.
+
+    Norms and every table's bucket compute in ONE Arrow ``mapInPandas``
+    over the corpus (exact left-to-right fold — see ivf_topk; the
+    unrolled SQL chains blow Janino's 64 KB codegen budget and fall to
+    ~20 µs/dot interpreted), with the multi-table (tbl, bucket) explode
+    done in-batch; the candidate verify dot is the vectorized
+    pandas-UDF pair fold."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    signs = np.array(
+        [
+            [lsh_signs(b, dim, t) for b in range(bits)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (T, bits, dim)
+    pows = (1 << np.arange(bits, dtype=np.int64))
+    bcast = spark.sparkContext.broadcast((signs, pows))
+
+    def prep(batches):
+        import numpy as np
+        import pandas as pd
+
+        s, p = bcast.value
+        n_t = s.shape[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.vstack(pdf["v"].to_numpy())
+            acc = vm[:, 0] * vm[:, 0]
+            proj = vm[:, 0][:, None, None] * s[None, :, :, 0]
+            for d in range(1, vm.shape[1]):
+                acc = acc + vm[:, d] * vm[:, d]
+                proj = proj + vm[:, d][:, None, None] * s[None, :, :, d]
+            bks = ((proj > 0) * p[None, None, :]).sum(axis=2)  # (B, T)
+            out = {
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "norm": np.sqrt(acc),
+            }
+            if n_t == 1:
+                out["bucket"] = bks[:, 0]
+                yield pd.DataFrame(out)
+            else:
+                rep = np.repeat(np.arange(len(pdf)), n_t)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy()[rep],
+                    "v": pdf["v"].to_numpy()[rep],
+                    "norm": np.sqrt(acc)[rep],
+                    "tbl": np.tile(np.arange(n_t), len(pdf)),
+                    "bucket": bks.ravel(),
+                })
+
+    schema = "vec_id bigint, v array<double>, norm double, " + (
+        "bucket bigint" if n_tables == 1 else "tbl int, bucket bigint"
     )
-    if n_tables == 1:
-        base = base.withColumn("bucket", lsh_bucket("v", dim, bits))
-        join_keys = [("bucket", "bucket")]
-    else:
-        base = base.withColumn(
-            "_bks",
-            F.array(
-                *[lsh_bucket("v", dim, bits, t) for t in range(n_tables)]
-            ),
-        ).select(
-            "vec_id", "v", "norm",
-            F.posexplode("_bks").alias("tbl", "bucket"),
-        )
-        join_keys = [("tbl", "tbl"), ("bucket", "bucket")]
-    # The bucketed+normed projection is a ~4k-node expression tree feeding
-    # BOTH sides of the self-join. Unpersisted, Catalyst re-optimizes and
-    # re-compiles it per side per AQE stage (measured ~10s of fixed plan
-    # cost per execution at ANY data size) and the projection itself runs
-    # twice. Persisted, the downstream plan sees a small InMemoryRelation
-    # leaf and the projection runs once. Footprint is the vector table +
+    join_keys = (
+        [("bucket", "bucket")]
+        if n_tables == 1
+        else [("tbl", "tbl"), ("bucket", "bucket")]
+    )
+    # The bucketed+normed projection feeds BOTH sides of the self-join.
+    # Unpersisted, it runs twice and is re-planned per AQE stage;
+    # persisted, the downstream plan sees a small InMemoryRelation leaf
+    # and the projection runs once. Footprint is the vector table +
     # (norm, buckets) — MEMORY_AND_DISK spills gracefully. The OPERATOR
     # owns cleanup (round-4 invariant): the bounded top-k result is
     # materialized eagerly and `base` is unpersisted before returning —
@@ -347,10 +384,17 @@ def lsh_topk(
     # checkpoint TABLE instead of block-manager persist.
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        emb.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(prep, schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
-    sim = F.expr(_dot_sql("q.v", "c.v", dim)) / (
+    sim = _pair_dot_lr(F.col("q.v"), F.col("c.v")) / (
         F.col("q.norm") * F.col("c.norm")
     )
     cond = F.col("q.vec_id") != F.col("c.vec_id")
