@@ -125,6 +125,7 @@ def minhash_lsh_pairs(
     band_size: int = 4,
     shingle_k: int = 3,
     sigs: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs.
 
@@ -133,7 +134,19 @@ def minhash_lsh_pairs(
     (doc_a < doc_b). One shuffle on the band key; no cross product.
     Pass ``sigs`` (from minhash_signatures) to reuse a computed signature
     table.
-    """
+
+    ``bucket_cap``: same degenerate-bucket guard as
+    ``ngram_jaccard_pairs`` — a band bucket with b docs emits O(b²)
+    pairs, the quadratic failure mode on templated corpora; buckets
+    larger than the cap are dropped wholesale before the self-join
+    (window count over the join's own key, so the cap rides the join's
+    exchange). Default ``None`` — OFF — because this operator's
+    CONTRACT is the candidate set itself (consumers like
+    dedup_components expect every bucket-coincidence pair), unlike
+    ngram_jaccard_pairs where dropped candidates are ones the verify
+    stage would reject anyway. Opt in at scale when downstream can
+    tolerate losing boilerplate mega-cliques (pair with exact_dedup,
+    which still collapses them)."""
     if sigs is None:
         sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
@@ -156,6 +169,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    if bucket_cap:
+        wb = Window.partitionBy("band_id", "band_hash")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bsz") <= int(bucket_cap))
+            .drop("_bsz")
+        )
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (

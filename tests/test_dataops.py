@@ -378,3 +378,68 @@ def test_ngram_jaccard_mega_bucket_cap(spark):
         docs, threshold=0.8, bucket_cap=None
     ).count()
     assert uncapped == 300 * 299 // 2 + 2
+
+
+def test_arrow_fold_bitwise_equals_sql_chain(spark):
+    """The round-5 vectorization contract: the numpy left-to-right
+    dimension fold (_pair_dot_lr, and the mapInPandas variants built
+    the same way) produces BIT-IDENTICAL doubles to the unrolled SQL
+    chain (_dot_sql) — not approximately-equal: the ANN operators'
+    DuckDB hash gates depend on exact equality of every similarity."""
+    from tesseract_recognize_spark.operators.similarity import (
+        _dot_sql,
+        _pair_dot_lr,
+    )
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    # adversarial magnitudes: mixed scales maximize rounding sensitivity
+    # to summation order, which is exactly what the fold must preserve
+    vecs = [
+        (i, (rng.randn(dim) * (10.0 ** rng.randint(-8, 9, dim))).tolist())
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "v"])
+    a, b = emb.alias("a"), emb.alias("b")
+    both = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.expr(_dot_sql("a.v", "b.v", dim)).alias("sql_dot"),
+            _pair_dot_lr(F.col("a.v"), F.col("b.v")).alias("arrow_dot"),
+        )
+        .collect()
+    )
+    assert len(both) == 40 * 39 // 2
+    import struct as _struct
+
+    for r in both:
+        assert _struct.pack("<d", r["sql_dot"]) == _struct.pack(
+            "<d", r["arrow_dot"]
+        ), (r["sql_dot"], r["arrow_dot"])
+
+
+def test_minhash_bucket_cap_bounds_mega_clique(spark):
+    """minhash_lsh_pairs(bucket_cap=...) drops band mega-buckets before
+    the self-join (the O(b²) templated-corpus failure mode), while
+    ordinary duplicate pairs survive. Default (cap off) keeps the full
+    candidate-set contract."""
+    template = [
+        (i, "identical boilerplate page body text", "en")
+        for i in range(200)
+    ]
+    genuine = [
+        (1000, "a unique document about distributed joins", "en"),
+        (1001, "a unique document about distributed joins", "en"),
+    ]
+    docs = spark.createDataFrame(
+        template + genuine, ["doc_id", "text", "lang"]
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, bucket_cap=50).collect()
+    }
+    assert capped == {(1000, 1001)}
+    uncapped = minhash_lsh_pairs(docs).count()
+    assert uncapped == 200 * 199 // 2 + 1
