@@ -14,19 +14,23 @@ number with the Amdahl term removed — the regime a real 100-TB job
 physics coupling (8 resident workers clock higher than 32: the
 cpu_inflation_probe ceiling), which a real N→4N cluster does not have.
 
-    python scripts/marginal_efficiency.py
+    python scripts/marginal_efficiency.py [ledger.jsonl ...]
+
+Default ledgers: every BENCH/lockstep_ledger_r*.jsonl present.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import sys
 
-LEDGER = "BENCH/lockstep_ledger_r04.jsonl"
-
 
 def main() -> None:
-    recs = [json.loads(ln) for ln in open(LEDGER)]
+    ledgers = sys.argv[1:] or sorted(
+        glob.glob("BENCH/lockstep_ledger_r*.jsonl")
+    )
+    recs = [json.loads(ln) for path in ledgers for ln in open(path)]
     by_docs: dict[int, dict] = {}
     for r in recs:
         # per-LEG minima across replicate sessions at the same size: each
@@ -56,6 +60,20 @@ def main() -> None:
             rec["min_8"] / (4 * rec["min_32"]), 3
         )
     out["eff_marginal"] = round(c[8] / (4 * c[32]), 3)
+    # adjacent-size marginals: the largest pair has the least
+    # small-job bias (a short 8-leg catches quiet turbo windows that
+    # a long one cannot — the F_8 < 0 artifact in BENCH/BASELINE.md)
+    pairs = []
+    for lo, hi in zip(sizes, sizes[1:]):
+        a, b = by_docs[lo], by_docs[hi]
+        dd2 = b["docs"] - a["docs"]
+        c8 = (b["min_8"] - a["min_8"]) / dd2
+        c32 = (b["min_32"] - a["min_32"]) / dd2
+        pairs.append({
+            "docs": [lo, hi],
+            "eff_marginal": round(c8 / (4 * c32), 3) if c32 > 0 else None,
+        })
+    out["adjacent_pair_marginals"] = pairs
     print(json.dumps(out, indent=1))
 
 
