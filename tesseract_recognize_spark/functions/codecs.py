@@ -5,11 +5,12 @@ The reference decodes any raster Leptonica knows via `pixRead`
 (tesseract-recognize.cc:513-531); this container ships no image
 libraries, so the formats that ARE stdlib-decodable get real decoders
 (PNG in functions/png.py; baseline-sequential JPEG in
-functions/jpeg.py; netpbm, BI_RGB BMP and uncompressed baseline TIFF
-here, from the public netpbm man pages, the Windows BMP file-format
-spec and the TIFF 6.0 specification) and everything else (progressive
-JPEG, TIFF-with-compression, ...) stays behind the injectable-codec
-seam in operators/multimodal.py.
+functions/jpeg.py; netpbm, BI_RGB BMP and baseline TIFF — uncompressed,
+LZW, deflate and PackBits strips, horizontal predictor — here, from the
+public netpbm man pages, the Windows BMP file-format spec and the TIFF
+6.0 specification §13/§9) and everything else (progressive JPEG, JBIG,
+CCITT-fax TIFF, ...) stays behind the injectable-codec seam in
+operators/multimodal.py.
 
 All decoders raise ValueError on malformed or unsupported input — never
 struct.error/IndexError — so the quarantine path upstream can key on one
@@ -19,6 +20,7 @@ exception type.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -163,12 +165,147 @@ def bmp_encode(img: np.ndarray) -> bytes:
     return file_hdr + info + body
 
 
-# TIFF 6.0 baseline, uncompressed: tag ids this decoder consumes
+# TIFF 6.0 baseline: tag ids this decoder consumes
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
-    278: "rows_per_strip", 279: "strip_counts",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor",
 }
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _tiff_lzw_decode(buf: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9→12-bit codes with the
+    "early change" width bump (width grows when the table reaches
+    2^width − 1, one code before the strict limit — the de-facto
+    standard every TIFF writer uses)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    bitpos, nbits = 0, len(buf) * 8
+    prev: bytes | None = None
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(buf[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"LZW: non-literal first code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    raise ValueError("LZW: stream ended without EndOfInformation")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (fixtures/tests): mirrors the early-change
+    width schedule of _tiff_lzw_decode."""
+    out = bytearray()
+    acc = accbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # decoder's table trails the encoder's by one entry (its first
+        # data code appends nothing), so its early-change trigger
+        # (len == 2^width − 1 after append) lands exactly when next_code
+        # reaches 2^width here
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: CLEAR + reset, like libtiff
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(_LZW_EOI)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits run-length decoding."""
+    out = bytearray()
+    i, ln = 0, len(buf)
+    while i < ln:
+        n = buf[i]
+        i += 1
+        if n < 128:
+            lit = buf[i : i + n + 1]
+            if len(lit) != n + 1:
+                raise ValueError("PackBits literal run truncated")
+            out += lit
+            i += n + 1
+        elif n > 128:
+            if i >= ln:
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([buf[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits encoder (fixtures/tests)."""
+    out = bytearray()
+    i, ln = 0, len(row)
+    while i < ln:
+        run = 1
+        while i + run < ln and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        j = i + 1  # literal until a ≥3 repeat starts (2-runs stay literal)
+        while j < ln and j - i < 128 and not (
+            j + 2 < ln and row[j] == row[j + 1] == row[j + 2]
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + row[i:j]
+        i = j
+    return bytes(out)
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
@@ -189,11 +326,13 @@ def _tiff_values(data, endian, vtype, count, raw) -> list[int]:
 
 
 def tiff_decode(data: bytes) -> np.ndarray:
-    """Uncompressed baseline TIFF bytes → uint8 ndarray: (h, w) gray or
-    (h, w, spp). Both byte orders; strips concatenated; photometric 0
-    (WhiteIsZero) inverted to the usual BlackIsZero convention, as
-    Leptonica's read path does. Compressed TIFF raises ValueError (needs
-    an injected codec)."""
+    """Baseline TIFF bytes → uint8 ndarray: (h, w) gray or (h, w, spp).
+    Both byte orders; strips concatenated; compression none/LZW/deflate
+    (8 and legacy 32946)/PackBits; horizontal predictor 2 undone;
+    photometric 0 (WhiteIsZero) inverted to the usual BlackIsZero
+    convention, as Leptonica's read path does. CCITT-fax/JPEG-in-TIFF
+    and planar (non-chunky) layouts raise ValueError (injected-codec
+    seam)."""
     try:
         if data[:4] == b"II*\x00":
             endian = "<"
@@ -220,11 +359,16 @@ def tiff_decode(data: bytes) -> np.ndarray:
             if req not in tags:
                 raise ValueError(f"TIFF missing required tag {req}")
         comp = tags.get("compression", [1])[0]
-        if comp != 1:
+        if comp not in (1, 5, 8, 32773, 32946):
             raise ValueError(
-                f"unsupported TIFF compression {comp} (only uncompressed; "
-                "inject a codec for LZW/JPEG/deflate)"
+                f"unsupported TIFF compression {comp} (none/LZW/deflate/"
+                "PackBits here; inject a codec for CCITT/JPEG-in-TIFF)"
             )
+        if tags.get("planar", [1])[0] != 1:
+            raise ValueError("unsupported TIFF planar configuration")
+        predictor = tags.get("predictor", [1])[0]
+        if predictor not in (1, 2):
+            raise ValueError(f"unsupported TIFF predictor {predictor}")
         w, h = tags["width"][0], tags["height"][0]
         if w == 0 or h == 0:
             raise ValueError(f"bad TIFF dimensions {w}x{h}")
@@ -235,27 +379,59 @@ def tiff_decode(data: bytes) -> np.ndarray:
         photometric = tags.get("photometric", [1])[0]
         if photometric not in (0, 1, 2):
             raise ValueError(f"unsupported TIFF photometric {photometric}")
+        rows_per_strip = tags.get("rows_per_strip", [h])[0] or h
         raster = bytearray()
-        for off, cnt in zip(tags["strip_offsets"], tags["strip_counts"]):
+        for idx, (off, cnt) in enumerate(
+            zip(tags["strip_offsets"], tags["strip_counts"])
+        ):
             chunk = data[off : off + cnt]
             if len(chunk) != cnt:
                 raise ValueError("TIFF strip truncated")
-            raster += chunk
+            if comp == 1:  # raw strips: boundaries carry no framing
+                raster += chunk
+                continue
+            if comp == 5:
+                chunk = _tiff_lzw_decode(chunk)
+            elif comp in (8, 32946):
+                try:
+                    chunk = zlib.decompress(chunk)
+                except zlib.error as e:
+                    raise ValueError(f"bad TIFF deflate strip: {e}") from e
+            elif comp == 32773:
+                chunk = _packbits_decode(chunk)
+            strip_rows = min(rows_per_strip, h - idx * rows_per_strip)
+            need_strip = strip_rows * w * spp
+            if len(chunk) < need_strip:
+                raise ValueError("TIFF strip data truncated")
+            raster += chunk[:need_strip]  # writers may pad; spec allows
         need = w * h * spp
         if len(raster) < need:
             raise ValueError("TIFF raster data truncated")
         arr = np.frombuffer(bytes(raster[:need]), dtype=np.uint8)
-        img = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+        img = arr.reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing: undo = mod-256 cumsum
+            img = np.cumsum(img, axis=1, dtype=np.uint8)
+        img = img[:, :, 0] if spp == 1 else img
         if photometric == 0:
             img = 255 - img
-        return img
+        return np.ascontiguousarray(img)
     except struct.error as e:
         raise ValueError(f"malformed TIFF stream: {e}") from e
 
 
-def tiff_encode(img: np.ndarray) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → little-endian uncompressed
-    single-strip baseline TIFF (tests/fixtures)."""
+_TIFF_COMP_CODE = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def tiff_encode(
+    img: np.ndarray, compression: str = "none", predictor: int = 1
+) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → little-endian single-strip
+    baseline TIFF (tests/fixtures). compression: none/lzw/deflate/
+    packbits; predictor 2 = horizontal differencing (lzw/deflate)."""
+    if compression not in _TIFF_COMP_CODE:
+        raise ValueError(f"tiff_encode: unknown compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError("tiff_encode: predictor must be 1 or 2")
     arr = np.ascontiguousarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         h, w, spp, photometric = *arr.shape, 1, 1
@@ -263,24 +439,42 @@ def tiff_encode(img: np.ndarray) -> bytes:
         h, w, spp, photometric = *arr.shape[:2], 3, 2
     else:
         raise ValueError("tiff_encode wants (h,w) gray or (h,w,3) RGB")
-    body = arr.tobytes()
+    plane = arr.reshape(h, w, spp)
+    if predictor == 2:
+        plane = plane.copy()
+        plane[:, 1:, :] -= plane[:, :-1, :]  # uint8 wraps mod 256
+    raw = plane.tobytes()
+    if compression == "lzw":
+        body = _tiff_lzw_encode(raw)
+    elif compression == "deflate":
+        body = zlib.compress(raw)
+    elif compression == "packbits":
+        row_len = w * spp
+        body = b"".join(
+            _packbits_encode(raw[i : i + row_len])
+            for i in range(0, len(raw), row_len)
+        )
+    else:
+        body = raw
     # layout: header(8) | IFD | bits values (if rgb) | strip data
-    entries = []  # (tag, type, count, value)
-    n_entries = 8
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + 12 * n_entries + 4
     bits_off = 8 + ifd_size
     bits_extra = 2 * 3 if spp == 3 else 0
     strip_off = bits_off + bits_extra
-    entries = [
+    entries = [  # (tag, type, count, value) — ascending tag order per spec
         (256, 4, 1, w),
         (257, 4, 1, h),
         (258, 3, spp, bits_off if spp == 3 else 8),
-        (259, 3, 1, 1),
+        (259, 3, 1, _TIFF_COMP_CODE[compression]),
         (262, 3, 1, photometric),
         (273, 4, 1, strip_off),
         (277, 3, 1, spp),
+        (278, 4, 1, h),
         (279, 4, 1, len(body)),
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))
     out = bytearray(b"II*\x00" + struct.pack("<I", 8))
     out += struct.pack("<H", n_entries)
     for tag, vtype, count, value in entries:
@@ -317,9 +511,10 @@ def sniff_mime(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Default codec chain: PNG → netpbm → BMP → uncompressed TIFF →
-    baseline JPEG; ValueError otherwise (progressive JPEG, compressed
-    TIFF, ... need an injected codec in this container)."""
+    """Default codec chain: PNG → netpbm → BMP → baseline TIFF
+    (none/LZW/deflate/PackBits strips, horizontal predictor) → baseline
+    JPEG; ValueError otherwise (progressive JPEG, CCITT-fax TIFF, ...
+    need an injected codec in this container)."""
     mime = sniff_mime(payload)
     if mime == "image/png":
         return png_decode(payload)

@@ -310,3 +310,139 @@ def test_wav_partial_trailing_frame_raises():
     )
     with pytest.raises(ValueError, match="partial trailing frame"):
         wav_decode(bytes(body))
+
+
+# ---- compressed TIFF (round 5: LZW / deflate / PackBits + predictor) ----
+
+
+def _pack9(codes):
+    """Pack a 9-bit-code list MSB-first (independent of the encoder under
+    test — validates the decoder against TIFF 6.0 §13 directly)."""
+    acc = accbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        accbits += 9
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_code_stream_hand_derived():
+    """Pin the §13 table dynamics on a hand-traced example.
+
+    data = 7 7 7 8 8 7 7 6 6 encodes (trace in-test) to the code stream
+    CLEAR, 7, 258, 8, 8, 258, 6, 6, EOI where 258 = '77' both times it
+    is emitted (the second after the decoder has rebuilt it), including
+    the code==len(table) self-referential case on the first 258.
+    """
+    from tesseract_recognize_spark.functions.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    stream = _pack9([256, 7, 258, 8, 8, 258, 6, 6, 257])
+    assert _tiff_lzw_decode(stream) == data
+    assert _tiff_lzw_encode(data) == stream
+
+
+def test_tiff_lzw_width_schedule_and_table_reset():
+    # poorly-compressible data long enough to cross the 9->10->11->12 bit
+    # early-change boundaries AND the 4094-entry table reset
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+    from tesseract_recognize_spark.functions.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+def test_tiff_compressed_roundtrips():
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    for img in (_gray(16, 13), _rgb(9, 11)):
+        for comp in ("lzw", "deflate", "packbits"):
+            out = tiff_decode(tiff_encode(img, compression=comp))
+            assert np.array_equal(out, img), comp
+        for comp in ("lzw", "deflate"):
+            out = tiff_decode(
+                tiff_encode(img, compression=comp, predictor=2)
+            )
+            assert np.array_equal(out, img), f"{comp}+predictor2"
+
+
+def test_tiff_legacy_deflate_code():
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    img = _gray(6, 6)
+    data = bytearray(tiff_encode(img, compression="deflate"))
+    i = data.index(struct.pack("<HH", 259, 3))
+    struct.pack_into("<I", data, i + 8, 32946)  # old-style Deflate
+    assert np.array_equal(tiff_decode(bytes(data)), img)
+
+
+def test_tiff_packbits_exercises_repeats_and_literals():
+    img = np.zeros((4, 64), dtype=np.uint8)
+    img[:, :32] = 200            # long repeat run
+    img[1, 32:] = np.arange(32)  # literal run
+    img[2, 40] = 7               # isolated 2-run boundary
+    img[2, 41] = 7
+    from tesseract_recognize_spark.functions.codecs import (
+        tiff_decode,
+        tiff_encode,
+    )
+
+    enc = tiff_encode(img, compression="packbits")
+    assert len(enc) < img.size + 200  # actually compressed
+    assert np.array_equal(tiff_decode(enc), img)
+
+
+def test_tiff_compressed_malformed_raises():
+    from tesseract_recognize_spark.functions.codecs import (
+        _packbits_decode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    img = _gray(8, 8)
+    defl = bytearray(tiff_encode(img, compression="deflate"))
+    with pytest.raises(ValueError, match="deflate|truncated"):
+        tiff_decode(bytes(defl[:-6]))  # truncated zlib stream
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decode(bytes([5, 1, 2]))  # literal run overruns
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decode(bytes([200]))  # repeat run with no byte
+    # floating-point predictor (3) is out of scope -> ValueError
+    pred = bytearray(tiff_encode(img, compression="lzw", predictor=2))
+    j = pred.index(struct.pack("<HH", 317, 3))
+    struct.pack_into("<HH", pred, j + 8, 3, 0)
+    with pytest.raises(ValueError, match="predictor"):
+        tiff_decode(bytes(pred))
+    # planar configuration 2 (separate planes) is the injected-codec
+    # seam: retag the predictor entry as PlanarConfiguration=2
+    planar = bytearray(tiff_encode(img, compression="lzw", predictor=2))
+    j = planar.index(struct.pack("<HH", 317, 3))
+    struct.pack_into("<HHIHH", planar, j, 284, 3, 1, 2, 0)
+    with pytest.raises(ValueError, match="planar"):
+        tiff_decode(bytes(planar))
+
+
+def test_tiff_compressed_through_decode_image_chain():
+    from tesseract_recognize_spark.functions.codecs import tiff_encode
+
+    img = _rgb(7, 5)
+    payload = tiff_encode(img, compression="lzw", predictor=2)
+    assert sniff_mime(payload) == "image/tiff"
+    assert np.array_equal(decode_image(payload), img)
