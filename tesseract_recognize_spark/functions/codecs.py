@@ -33,6 +33,8 @@ __all__ = [
     "bmp_encode",
     "tiff_decode",
     "tiff_encode",
+    "gif_decode",
+    "gif_encode",
     "sniff_mime",
     "decode_image",
 ]
@@ -306,6 +308,233 @@ def _packbits_encode(row: bytes) -> bytes:
         out += bytes([j - i - 1]) + row[i:j]
         i = j
     return bytes(out)
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF89a Appendix F LZW: LSB-first bit packing, variable width
+    min_code+1 → 12 bits (no TIFF-style early change), CLEAR = 2^min,
+    deferred-clear tolerated (table frozen at 4096 until CLEAR)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = accbits = 0
+    for byte in data:
+        acc |= byte << accbits
+        accbits += 8
+        while accbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            accbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= clear:
+                    raise ValueError(f"GIF LZW: non-literal first code {code}")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"GIF LZW: code {code} beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    raise ValueError("GIF LZW: stream ended without EndOfInformation")
+
+
+def _gif_lzw_encode(data: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW encoder (fixtures/tests): mirrors the width
+    schedule of _gif_lzw_decode (decoder's table trails by one entry, so
+    the encoder bumps at next_code == 2^width + 1)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = accbits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: CLEAR + reset
+            emit(clear)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF interlace passes: (first row, stride) per GIF89a §20
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → uint8 (h, w, 3) RGB of the FIRST frame
+    (Leptonica's pixRead likewise returns one pix per file). Global and
+    local color tables, interlacing, and deferred-clear LZW handled;
+    transparency is ignored (the palette color shows). Malformed input
+    raises ValueError."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF stream")
+        w, h = struct.unpack("<HH", data[6:10])
+        packed = data[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            if pos + 3 * n > len(data):
+                raise ValueError("GIF global color table truncated")
+            gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            gct = gct.reshape(n, 3)
+            pos += 3 * n
+        while pos < len(data):
+            block = data[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label byte + sub-blocks
+                pos += 1
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"GIF: unknown block 0x{block:02x}")
+            _, _, iw, ih = struct.unpack("<HHHH", data[pos : pos + 8])
+            ipacked = data[pos + 8]
+            pos += 9
+            if iw == 0 or ih == 0:
+                raise ValueError(f"bad GIF frame dimensions {iw}x{ih}")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n > len(data):
+                    raise ValueError("GIF local color table truncated")
+                ct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+                ct = ct.reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+            stream = bytearray()
+            while data[pos] != 0:
+                cnt = data[pos]
+                sub = data[pos + 1 : pos + 1 + cnt]
+                if len(sub) != cnt:
+                    raise ValueError("GIF data sub-block truncated")
+                stream += sub
+                pos += 1 + cnt
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(stream), min_code), np.uint8
+            )
+            if idx.size < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            idx = idx[: iw * ih].reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: stream rows → display rows
+                order = [
+                    r for first, step in _GIF_INTERLACE
+                    for r in range(first, ih, step)
+                ]
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            if int(idx.max()) >= len(ct):
+                raise ValueError("GIF palette index out of range")
+            return np.ascontiguousarray(ct[idx])
+        raise ValueError("GIF contains no image data")
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed GIF stream: {e}") from e
+
+
+def gif_encode(img: np.ndarray, interlace: bool = False) -> bytes:
+    """uint8 (h, w) gray (256-gray palette) or (h, w, 3) RGB with ≤256
+    distinct colors → non-animated GIF89a (tests/fixtures)."""
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        palette = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+        idx = arr
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        colors, inverse = np.unique(
+            arr.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if len(colors) > 256:
+            raise ValueError("gif_encode wants ≤256 distinct RGB colors")
+        pad = 2
+        while pad < len(colors):
+            pad *= 2
+        palette = np.zeros((max(pad, 4), 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
+        idx = inverse.astype(np.uint8).reshape(arr.shape[:2])
+    else:
+        raise ValueError("gif_encode wants (h,w) gray or (h,w,3) RGB")
+    h, w = idx.shape
+    gct_bits = max(1, int(len(palette)).bit_length() - 1)
+    min_code = max(2, gct_bits)
+    if interlace:
+        order = [
+            r for first, step in _GIF_INTERLACE for r in range(first, h, step)
+        ]
+        idx = idx[order]
+    lzw = _gif_lzw_encode(idx.tobytes(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        sub = lzw[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
@@ -501,6 +730,8 @@ def sniff_mime(payload: bytes) -> str | None:
         return "image/bmp"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "image/tiff"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -512,9 +743,9 @@ def sniff_mime(payload: bytes) -> str | None:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Default codec chain: PNG → netpbm → BMP → baseline TIFF
-    (none/LZW/deflate/PackBits strips, horizontal predictor) → baseline
-    JPEG; ValueError otherwise (progressive JPEG, CCITT-fax TIFF, ...
-    need an injected codec in this container)."""
+    (none/LZW/deflate/PackBits strips, horizontal predictor) → GIF →
+    baseline JPEG; ValueError otherwise (progressive JPEG, CCITT-fax
+    TIFF, ... need an injected codec in this container)."""
     mime = sniff_mime(payload)
     if mime == "image/png":
         return png_decode(payload)
@@ -524,12 +755,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return bmp_decode(payload)
     if mime == "image/tiff":
         return tiff_decode(payload)
+    if mime == "image/gif":
+        return gif_decode(payload)
     if mime == "image/jpeg":
         from tesseract_recognize_spark.functions.jpeg import jpeg_decode
 
         return jpeg_decode(payload)
     raise ValueError(
         "no stdlib codec for payload (supported: PNG, binary PPM/PGM, "
-        "uncompressed BMP, uncompressed TIFF, baseline JPEG); inject one "
+        "BMP, baseline TIFF, GIF, baseline JPEG); inject one "
         "(e.g. PIL.Image.open) or use fake_codec"
     )

@@ -4,8 +4,8 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested. The
 default codec chain decodes PNG, baseline JPEG, binary PPM/PGM,
-uncompressed BMP and baseline TIFF (uncompressed/LZW/deflate/PackBits
-strips + horizontal predictor) for real (pure stdlib, functions/png.py
+uncompressed BMP, baseline TIFF (uncompressed/LZW/deflate/PackBits
+strips + horizontal predictor) and GIF for real (pure stdlib, functions/png.py
 + functions/jpeg.py + functions/codecs.py); formats that are not
 stdlib-decodable (progressive JPEG, CCITT-fax TIFF,
 video containers, ...) stay behind the
@@ -84,9 +84,9 @@ def decode_image_features(
     Input: (media_ref string, payload binary). Output: metadata struct
     fields + a mean-pooled ``resize_to``×``resize_to`` grayscale feature
     vector (array<double>) + an ``error`` column. With ``codec=None``
-    PNG, baseline JPEG, binary PPM/PGM, uncompressed BMP and baseline
+    PNG, baseline JPEG, binary PPM/PGM, uncompressed BMP, baseline
     TIFF (uncompressed/LZW/deflate/PackBits strips, horizontal
-    predictor) payloads decode for real via the pure-stdlib codec
+    predictor) and GIF payloads decode for real via the pure-stdlib codec
     chain (functions/png.py + functions/jpeg.py + functions/codecs.py —
     the reference's pixRead analog, tesseract-recognize.cc:513-531);
     the remaining formats (progressive JPEG, CCITT-fax TIFF, ...) still

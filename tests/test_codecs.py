@@ -134,9 +134,14 @@ def test_sniff_and_decode_chain():
     assert sniff_mime(b"\xff\xd8\xff\xe0jpeg") == "image/jpeg"
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg")
-    assert sniff_mime(b"GIF89a\x00\x00") is None
-    with pytest.raises(ValueError, match="no stdlib codec"):
+    # GIF now sniffs and routes to the stdlib decoder (round 5); a
+    # truncated stream quarantines via ValueError like every codec
+    assert sniff_mime(b"GIF89a\x00\x00") == "image/gif"
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a\x00\x00")
+    assert sniff_mime(b"NOTANIMG") is None
+    with pytest.raises(ValueError, match="no stdlib codec"):
+        decode_image(b"NOTANIMG")
 
 
 def test_cross_codec_pixel_equality():
@@ -446,3 +451,136 @@ def test_tiff_compressed_through_decode_image_chain():
     payload = tiff_encode(img, compression="lzw", predictor=2)
     assert sniff_mime(payload) == "image/tiff"
     assert np.array_equal(decode_image(payload), img)
+
+
+# ---- GIF (round 5: LSB-first LZW, palettes, interlace) ----
+
+
+def _pack_lsb(codes, width):
+    """Pack fixed-width codes LSB-first (independent of the encoder under
+    test — validates the decoder against GIF89a Appendix F directly)."""
+    acc = accbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_code_stream_hand_derived():
+    """Pin Appendix F table dynamics on a hand-traced example.
+
+    min_code=2 (CLEAR=4, EOI=5, first free entry 6); data 1 1 1 2
+    encodes to CLEAR, 1, 6, 2, EOI — all 3-bit — where 6 is the
+    self-referential code==len(table) case ('11').
+    """
+    from tesseract_recognize_spark.functions.codecs import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    data = bytes([1, 1, 1, 2])
+    stream = _pack_lsb([4, 1, 6, 2, 5], 3)
+    assert _gif_lzw_decode(stream, 2) == data
+    assert _gif_lzw_encode(data, 2) == stream
+
+
+def test_gif_lzw_width_schedule_and_table_reset():
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+    from tesseract_recognize_spark.functions.codecs import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8) == data
+    small = bytes([0, 1, 2, 3] * 500)  # min_code=2: crosses 3->12 widths
+    assert _gif_lzw_decode(_gif_lzw_encode(small, 2), 2) == small
+
+
+def test_gif_roundtrip_gray_rgb_interlaced():
+    from tesseract_recognize_spark.functions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    gray = _gray(16, 13)
+    out = gif_decode(gif_encode(gray))
+    assert out.shape == (16, 13, 3)  # palette expansion: gray -> RGB
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+    rgb = np.zeros((9, 11, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(99) % 5).reshape(9, 11) * 50
+    rgb[..., 2] = 255 - rgb[..., 0]
+    assert np.array_equal(gif_decode(gif_encode(rgb)), rgb)
+    assert np.array_equal(
+        gif_decode(gif_encode(rgb, interlace=True)), rgb
+    )
+
+
+def test_gif_interlace_row_order_differs_in_stream():
+    # same pixels, interlaced vs not: different byte streams, same decode
+    from tesseract_recognize_spark.functions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    img = (np.arange(64, dtype=np.uint8) % 7).reshape(8, 8) * 30
+    plain, laced = gif_encode(img), gif_encode(img, interlace=True)
+    assert plain != laced
+    assert np.array_equal(gif_decode(plain), gif_decode(laced))
+
+
+def test_gif_skips_extensions_and_uses_local_palette():
+    from tesseract_recognize_spark.functions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    img = _gray(5, 4)
+    data = bytearray(gif_encode(img))
+    # splice a graphic-control extension between screen descriptor+GCT
+    # and the image descriptor (0x2C)
+    at = data.index(0x2C, 13 + 768)
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    data[at:at] = gce
+    out = gif_decode(bytes(data))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_gif_malformed_raises_valueerror():
+    from tesseract_recognize_spark.functions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    good = gif_encode(_gray(6, 6))
+    for data in (
+        b"GIF90a" + good[6:],      # bad version magic
+        good[:20],                  # truncated in palette
+        good[:-10],                 # truncated pixel data
+        good[:13] + good[13 + 768:],  # GCT flag set but table missing
+    ):
+        with pytest.raises(ValueError):
+            gif_decode(data)
+    # >256 distinct colors cannot be palettized
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        gif_encode(noisy)
+
+
+def test_gif_through_decode_image_chain():
+    from tesseract_recognize_spark.functions.codecs import gif_encode
+
+    img = _gray(7, 5)
+    payload = gif_encode(img)
+    assert sniff_mime(payload) == "image/gif"
+    assert decode_image(payload).shape == (7, 5, 3)
