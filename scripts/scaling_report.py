@@ -14,11 +14,12 @@ raw target clears. Historical cross-session floors are kept as context.
 from __future__ import annotations
 
 import argparse
+import glob as _glob
 import json
 import statistics
 
 PAIRS_LEDGER = "BENCH/pairs_ledger_r04.jsonl"
-LOCKSTEP_LEDGER = "BENCH/lockstep_ledger_r04.jsonl"
+LOCKSTEP_LEDGERS = "BENCH/lockstep_ledger_r*.jsonl"
 PROBE = "BENCH/cpu_inflation_probe.json"
 
 # historical cross-session floors (earlier rounds' ledgers, recorded in
@@ -44,12 +45,14 @@ def main() -> None:
         for ln in f:
             pairs.append(json.loads(ln))
     locksteps = []
-    try:
-        with open(LOCKSTEP_LEDGER) as f:
-            for ln in f:
-                locksteps.append(json.loads(ln))
-    except OSError:
-        pass
+    for path in sorted(_glob.glob(LOCKSTEP_LEDGERS)):
+        try:
+            with open(path) as f:
+                for ln in f:
+                    locksteps.append(json.loads(ln))
+        except OSError:
+            pass
+    locksteps.sort(key=lambda s: (s["docs"], s["ts"]))
     with open(PROBE) as f:
         probe = json.load(f)
     ratios = [r["per_core_ratio_8_to_32"] for r in probe["runs"]]
@@ -93,7 +96,7 @@ def main() -> None:
             f"| {name} | {m8:.1f} | {m32:.1f} | {k8}+{k32} | {e:.3f} |"
         )
 
-    out = f"""# BENCH baseline — two-parallelism scaling evidence (round 4)
+    out = f"""# BENCH baseline — two-parallelism scaling evidence (rounds 2–5)
 
 North rule: throughput scaling efficiency ≥ 0.8 between N- and
 4N-executor clusters. Sandbox stand-in: the identical end-to-end
@@ -139,6 +142,10 @@ over {len(clean)} pairs)"""
     out += f""".
 Session floors: {floor8:.1f}s @{n} / {floor32:.1f}s @{xn} → {eff_floor:.3f}.
 """
+    eff_marginal = None
+    large: list = []
+    n_large_clear = 0
+    large_effs = "—"
     if locksteps:
         ls_rows = []
         for s in locksteps:
@@ -151,6 +158,28 @@ Session floors: {floor8:.1f}s @{n} / {floor32:.1f}s @{xn} → {eff_floor:.3f}.
                 f"| {s['eff_median']:.3f} | {s['clean_cycles']} | {ecm} "
                 f"| {best:.3f} |"
             )
+        # marginal (fixed-cost-free) fit from per-leg floors across
+        # replicate sessions at the smallest vs largest corpus size —
+        # same model as scripts/marginal_efficiency.py
+        by_docs: dict[int, dict] = {}
+        for s in locksteps:
+            d = by_docs.setdefault(
+                s["docs"], {f"min_{n}": s[f"min_{n}"],
+                            f"min_{xn}": s[f"min_{xn}"]})
+            d[f"min_{n}"] = min(d[f"min_{n}"], s[f"min_{n}"])
+            d[f"min_{xn}"] = min(d[f"min_{xn}"], s[f"min_{xn}"])
+        sizes = sorted(by_docs)
+        if len(sizes) >= 2:
+            sm, bg = by_docs[sizes[0]], by_docs[sizes[-1]]
+            dd = sizes[-1] - sizes[0]
+            c_n = (bg[f"min_{n}"] - sm[f"min_{n}"]) / dd
+            c_xn = (bg[f"min_{xn}"] - sm[f"min_{xn}"]) / dd
+            eff_marginal = c_n / (factor * c_xn)
+        large = [s for s in locksteps if s["docs"] >= 160_000]
+        n_large_clear = sum(1 for s in large if s["eff_min"] >= 0.8)
+        large_effs = ", ".join(
+            f"{s['eff_min']:.3f} ({s['docs'] // 1000}k)" for s in large
+        )
         out += f"""
 ## Run-level lockstep interleave (finest same-regime granularity)
 
@@ -173,18 +202,17 @@ hours long and sits at the asymptote.
 Raw efficiency RISES with job size exactly as the Amdahl decomposition
 predicts (fixed per-pass cost amortizes; `scripts/marginal_efficiency.py`
 solves both terms from per-leg minima across the replicate sessions:
-marginal efficiency 0.83, the fixed-cost-free regime a real 100-TB job
-runs in). The REPLICATE 160k session (third row) cleared the target on
-its own session floors — eff 0.843 raw — and its final cycle measured
-0.840 with BOTH legs within 5% of their floors seconds apart: a direct
-same-regime replication of round 3's single 0.852 pair. Best-cycle
-values above 1.0 are 8-leg storm artifacts (a storm inflating t{n}
-inflates the ratio), which is why the headline uses session floors and
-clean-cycle medians, never best cycles. The per-size floors remain
-biased AGAINST the target: a 5-minute 160k leg almost never lands a
-fully storm-free window, while a 1-minute 40k {n}-leg catches quiet
-turbo-boosted windows easily (measured F_{n} < 0 in the marginal fit is
-this bias made visible).
+marginal efficiency {f'{eff_marginal:.2f}' if eff_marginal else '—'},
+the fixed-cost-free regime a real 100-TB job runs in). Large-job
+sessions (≥160k docs, ~5+-minute legs): {n_large_clear} of {len(large)}
+independent sessions cleared the ≥0.8 target on raw session floors
+({large_effs}). Best-cycle values above 1.0 are {n}-leg storm artifacts
+(a storm inflating t{n} inflates the ratio), which is why the headline
+uses session floors and clean-cycle medians, never best cycles. The
+per-size floors remain biased AGAINST the target: a 5-minute 160k leg
+almost never lands a fully storm-free window, while a 1-minute 40k
+{n}-leg catches quiet turbo-boosted windows easily (measured F_{n} < 0
+in the marginal fit is this bias made visible).
 """
     out += f"""
 ## Host-physics ceiling (same-day, Spark-free)
@@ -217,13 +245,13 @@ host** whenever the probe reads below 0.8.
   measured in the same sessions is {r_lo:.2f}–{r_hi:.2f}.
 - **Job-size dependence is measured, not assumed, and replicated**
   (lockstep sweep above): raw efficiency rises from ~0.54 (40k docs,
-  ~1-min legs) to 0.70–0.84 (160k docs, ~5-min legs, two independent
-  sessions) as the fixed per-pass cost amortizes. The replicate 160k
-  session cleared the ≥0.8 target on raw session floors (0.843), its
-  final cycle measured 0.840 with both legs near-floor seconds apart,
+  ~1-min legs) to the large-job floors as the fixed per-pass cost
+  amortizes. {n_large_clear} of {len(large)} independent large-job
+  sessions (≥160k docs, ~5+-minute legs, separate days/windows)
+  cleared the ≥0.8 target on raw session floors ({large_effs}),
   and the marginal (fixed-cost-free) estimate from per-leg minima
-  across sessions is **0.83** — the regime a real 100-TB job (hours
-  long, F negligible) runs in.
+  across sessions is **{f'{eff_marginal:.2f}' if eff_marginal else '—'}**
+  — the regime a real 100-TB job (hours long, F negligible) runs in.
 - **Framework-attributable efficiency** (the part this repo controls):
   median raw / probe ceiling = {med:.3f} / {r_hi:.2f} =
   **{corrected:.3f}**. This is an ESTIMATE whose assumptions are: (a)
@@ -272,6 +300,8 @@ ratios, are the headline estimator.
 python scripts/scaling_pairs.py --pairs 5 --runs 6   # same-regime pairs
 python scripts/lockstep_pairs.py --cycles 16         # run-level interleave
 python scripts/lockstep_pairs.py --cycles 8 --docs 160000  # job-size sweep
+python scripts/lockstep_pairs.py --cycles 6 --docs 320000 --warmups 2 \\
+    --ledger BENCH/lockstep_ledger_r05.jsonl             # asymptote point
 python scripts/cpu_inflation_probe.py 300 3          # host-physics probe
 python scripts/scaling_report.py                     # this file
 ```
