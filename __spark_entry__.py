@@ -343,6 +343,92 @@ def q_multimodal_image_features(spark, sf_dir):
     )
 
 
+# One entry per lossless codec in the sniffing chain (JPEG is covered
+# by pytest roundtrips instead — IDCT rounding makes it inexact by one
+# LSB, which a value-hash gate cannot tolerate). Order matters: the
+# oracle SQL cases on doc_id % len(_CODEC_MATRIX).
+_CODEC_MATRIX = [
+    ("png", "image/png", 1),
+    ("pgm", "image/x-portable-graymap", 1),
+    ("ppm", "image/x-portable-pixmap", 3),
+    ("bmp", "image/bmp", 3),
+    ("gif", "image/gif", 3),          # gray palette decodes to RGB
+    ("tiff-lzw", "image/tiff", 1),
+    ("tiff-packbits", "image/tiff", 3),
+]
+
+
+def q_multimodal_codec_matrix(spark, sf_dir):
+    # The FULL raster codec chain under the hash gate: each document
+    # round-robins through every lossless container the engine decodes
+    # (functions/png.py + functions/codecs.py — PNG, binary netpbm, BMP,
+    # GIF, LZW/PackBits TIFF with horizontal predictor; the reference's
+    # pixRead surface, tesseract-recognize.cc:513-531). Every payload
+    # encodes the SAME closed-form 16×16 gradient, every codec is
+    # lossless and RGB legs carry r=g=b, so the pooled features reduce
+    # to the identical ((doc%200) + 4i + 2j + 1.5) formula regardless of
+    # container — which the oracle states once while still pinning
+    # per-container mime sniffing, decoded channel counts, and
+    # bit-exact pixel recovery through five distinct decoders.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tesseract_recognize_spark.functions.codecs import (
+            bmp_encode,
+            gif_encode,
+            ppm_encode,
+            tiff_encode,
+        )
+        from tesseract_recognize_spark.functions.png import png_encode
+
+        n_fmt = len(_CODEC_MATRIX)
+        for pdf in batches:
+            refs, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 200
+                gray = (
+                    (np.arange(16)[None, :] + 2 * np.arange(16)[:, None] + v)
+                    % 256
+                ).astype("uint8")
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                name = _CODEC_MATRIX[d % n_fmt][0]
+                if name == "png":
+                    payload = png_encode(gray)
+                elif name == "pgm":
+                    payload = ppm_encode(gray)
+                elif name == "ppm":
+                    payload = ppm_encode(rgb)
+                elif name == "bmp":
+                    payload = bmp_encode(rgb)
+                elif name == "gif":
+                    payload = gif_encode(gray)
+                elif name == "tiff-lzw":
+                    payload = tiff_encode(gray, "lzw", predictor=2)
+                else:  # tiff-packbits
+                    payload = tiff_encode(rgb, "packbits")
+                refs.append(f"media://doc-{d}/{name}")
+                payloads.append(payload)
+            yield pd.DataFrame({"media_ref": refs, "payload": payloads})
+
+    media = docs.mapInPandas(make, "media_ref string, payload binary")
+    out = decode_image_features(media, resize_to=8)
+    return out.select(
+        "media_ref",
+        "mime",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.posexplode("features").alias("k", "feature"),
+    ).select(
+        "media_ref", "mime", "width", "height", "channels",
+        F.col("k").cast("bigint").alias("k"), "feature",
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # approximate ANN (bucketed) — not SQL-expressible cheaply (rows-only)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -400,6 +486,37 @@ def q_dedup_components(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     labels = connected_components(pairs)
+    asg = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce("component_id", docs["doc_id"]).alias("component_id"),
+        )
+    )
+    w = Window.partitionBy("component_id")
+    return asg.select(
+        "doc_id",
+        "component_id",
+        F.count("*").over(w).cast("bigint").alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+def q_dedup_components_star(spark, sf_dir):
+    # Same clustering contract, computed by the alternating
+    # large-star/small-star algorithm (operators/components.py,
+    # algorithm="star" — Kiveris et al., O(log n) rounds on chains where
+    # min-label needs diameter rounds). Shares q_dedup_components'
+    # recursive-CTE oracle: both algorithms must land the identical
+    # (doc_id, min-reachable-label) fixpoint.
+    from tesseract_recognize_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    labels = connected_components(pairs, algorithm="star")
     asg = (
         docs.select("doc_id")
         .join(labels, docs["doc_id"] == labels["node"], "left")
@@ -683,11 +800,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_set_select": q_page_set_select,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_codec_matrix": q_multimodal_codec_matrix,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_mt_topk": q_ann_lsh_mt_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_window_rollup": q_events_window_rollup,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "sample_stratified": q_sample_stratified,
         "sample_per_group_topn": q_sample_per_group_topn,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1177,6 +1296,27 @@ SELECT lang, p, quantile_value FROM (
 """
 
 
+def _codec_matrix_oracle() -> str:
+    """Closed-form expectation for q_multimodal_codec_matrix: every
+    container is lossless and carries the same gradient, so features
+    share one formula; mime/channels vary by doc_id % n_formats
+    (DuckDB list literals are 1-indexed)."""
+    n = len(_CODEC_MATRIX)
+    names = ", ".join(f"'{c[0]}'" for c in _CODEC_MATRIX)
+    mimes = ", ".join(f"'{c[1]}'" for c in _CODEC_MATRIX)
+    chans = ", ".join(str(c[2]) for c in _CODEC_MATRIX)
+    return f"""
+SELECT concat('media://doc-', doc_id, '/',
+              [{names}][(doc_id % {n}) + 1]) AS media_ref,
+       [{mimes}][(doc_id % {n}) + 1] AS mime,
+       16::BIGINT AS width, 16::BIGINT AS height,
+       ([{chans}][(doc_id % {n}) + 1])::BIGINT AS channels,
+       k::BIGINT AS k,
+       (doc_id % 200)::DOUBLE + 4 * (k // 8) + 2 * (k % 8) + 1.5 AS feature
+FROM documents, range(0, 64) t(k)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "trim_normalize": r"""
@@ -1306,6 +1446,8 @@ FROM events
 GROUP BY 1, 2, 3
 """,
         "dedup_components": _dedup_components_oracle(0.8),
+        # star must land the identical min-reachable-label fixpoint
+        "dedup_components_star": _dedup_components_oracle(0.8),
         "sample_stratified": _sample_stratified_oracle(),
         "sample_per_group_topn": _sample_topn_oracle(50),
         "tfidf_top_terms": f"""
@@ -1431,6 +1573,7 @@ SELECT concat('media://doc-', doc_id, '/png') AS media_ref,
        (doc_id % 200)::DOUBLE + 4 * (k // 8) + 2 * (k % 8) + 1.5 AS feature
 FROM documents, range(0, 64) t(k)
 """,
+        "multimodal_codec_matrix": _codec_matrix_oracle(),
     }
     # the salted skew path must produce the IDENTICAL sessions — one
     # oracle string serves both (the whole point of the pin)

@@ -47,12 +47,14 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_components_star",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_mt_topk",
     "ann_ivf_topk",
     "multimodal_image_features",
+    "multimodal_codec_matrix",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "media_reconcile",

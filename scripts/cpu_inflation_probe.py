@@ -93,6 +93,7 @@ def main() -> None:
     # warm imports once so fork children inherit hot modules
     worker((0, 5))
     tp1 = measure(1, n_pages, reps)
+    tp2 = measure(2, n_pages, reps)
     tp4 = measure(4, n_pages, reps)
     tp8 = measure(8, n_pages, reps)
     tp32 = measure(32, n_pages, reps)
@@ -100,9 +101,14 @@ def main() -> None:
     run = {
         "pages_per_worker": n_pages,
         "reps": reps,
+        "tp2": round(tp2, 1),
         "tp8": round(tp8, 1),
         "tp32": round(tp32, 1),
         "per_core_ratio_8_to_32": round(r, 4),
+        # ceiling for the low-density N-vs-4N variant (local[2] vs
+        # local[8]): below bandwidth saturation, so closer to a real
+        # cluster's constant per-host worker density
+        "per_core_ratio_2_to_8": round((tp8 / 8) / (tp2 / 2), 4),
         "loadavg_1min_at_start": round(load0, 1),
     }
     # append to the evidence file in the schema scaling_report.py reads;
@@ -114,11 +120,13 @@ def main() -> None:
     evidence.setdefault("runs", []).append(run)
     evidence["control_curve"] = {
         "tp1": round(tp1, 1),
+        "tp2": round(tp2, 1),
         "tp4": round(tp4, 1),
         "tp8": round(tp8, 1),
         "tp32": round(tp32, 1),
         "per_core_vs_single": {
             "P=1": 1.0,
+            "P=2": round((tp2 / 2) / tp1, 3),
             "P=4": round((tp4 / 4) / tp1, 3),
             "P=8": round((tp8 / 8) / tp1, 3),
             "P=32": round((tp32 / 32) / tp1, 3),

@@ -269,6 +269,54 @@ def test_multimodal_nonpng_codecs_and_mime(spark):
     assert out["m://ppm"].features == out["m://bmp"].features
 
 
+def test_multimodal_codec_matrix_closed_form(spark):
+    """Every lossless container in the chain (PNG, PGM, PPM, BMP, GIF,
+    LZW-TIFF w/ predictor, PackBits-TIFF) carries the same 16×16
+    gradient; mean-pooled 8×8 features must land the identical
+    closed-form values bit-for-bit regardless of container — the same
+    invariant the driver's multimodal_codec_matrix hash gate enforces at
+    sf0.01 (__spark_entry__._CODEC_MATRIX)."""
+    from tesseract_recognize_spark.functions.codecs import (
+        bmp_encode,
+        gif_encode,
+        ppm_encode,
+        tiff_encode,
+    )
+    from tesseract_recognize_spark.functions.png import png_encode
+
+    v = 37
+    gray = (
+        (np.arange(16)[None, :] + 2 * np.arange(16)[:, None] + v) % 256
+    ).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    rows = [
+        ("m://png", bytearray(png_encode(gray)), "image/png", 1),
+        ("m://pgm", bytearray(ppm_encode(gray)),
+         "image/x-portable-graymap", 1),
+        ("m://ppm", bytearray(ppm_encode(rgb)),
+         "image/x-portable-pixmap", 3),
+        ("m://bmp", bytearray(bmp_encode(rgb)), "image/bmp", 3),
+        ("m://gif", bytearray(gif_encode(gray)), "image/gif", 3),
+        ("m://tiff-lzw", bytearray(tiff_encode(gray, "lzw", predictor=2)),
+         "image/tiff", 1),
+        ("m://tiff-pb", bytearray(tiff_encode(rgb, "packbits")),
+         "image/tiff", 3),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], ["media_ref", "payload"]
+    )
+    out = {r["media_ref"]: r for r in
+           decode_image_features(df, resize_to=8).collect()}
+    expect = [float(v + 4 * i + 2 * j + 1.5)
+              for i in range(8) for j in range(8)]
+    for ref, _, mime, channels in rows:
+        r = out[ref]
+        assert r.error is None, (ref, r.error)
+        assert r.mime == mime
+        assert (r.width, r.height, r.channels) == (16, 16, channels)
+        assert r.features == expect, ref
+
+
 def test_multimodal_alpha_excluded_from_features(spark):
     """RGBA features must ignore alpha: same RGB + different alpha planes
     → identical pooled features (the alpha-averaging bug the round-3
