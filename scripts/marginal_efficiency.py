@@ -31,6 +31,9 @@ def main() -> None:
         glob.glob("BENCH/lockstep_ledger_r*.jsonl")
     )
     recs = [json.loads(ln) for path in ledgers for ln in open(path)]
+    # ledgers can carry other leg variants (e.g. the local[2]-vs-local[8]
+    # constant-density sessions); this model is for the 8-vs-32 sweep
+    recs = [r for r in recs if "min_8" in r and "min_32" in r]
     by_docs: dict[int, dict] = {}
     for r in recs:
         # per-LEG minima across replicate sessions at the same size: each
