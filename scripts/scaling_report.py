@@ -291,8 +291,16 @@ host** whenever the probe reads below 0.8.
   sessions (vs {r_lo:.2f}–{r_hi:.2f} for 8→32) — measured raw
   session-floor efficiency {ld_all}. This {clears} the ≥0.8 target raw,
   with no host-physics correction applied.** On this 4× step the harness
-  measures mostly the engine, not the host's memory wall.
+  measures mostly the engine, not the host's memory wall."""
+        if r28_lo is not None:
+            fw = ld_best / r28_lo
+            out += f"""
+  Framework-attributable share (raw / the most conservative same-round
+  probe 2→8 ceiling {r28_lo:.2f}): **{fw:.3f}** — an estimate with the
+  same stated assumptions as the 8-vs-32 correction below.
 """
+        else:
+            out += "\n"
     out += f"""- **Raw, this host, same-regime 8-vs-32 pairs: median {med:.3f}. This
   does NOT clear 0.8 raw**, and per the probe it cannot: the Spark-free
   ceiling measured in the same sessions is {r_lo:.2f}–{r_hi:.2f}.
