@@ -675,6 +675,48 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def q_events_asof_join_narrow(spark, sf_dir):
+    # the wide-payload scale path: narrow (key, id, ts) union/window core
+    # + payload rejoin on unique ids — identical rows to the default
+    # path (same oracle SQL), without wide columns riding the
+    # partitionBy(user_id) sort at 10^12 rows
+    from tesseract_recognize_spark.operators.temporal import (
+        asof_join,
+        epoch_us,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        "event_type",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value_cents"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_payload=("value_cents",),
+        rejoin_payloads=True,
+        left_id="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+        F.coalesce("asof_ts_us", F.lit(-1)).alias("asof_ts_us"),
+        F.coalesce("asof_value_cents", F.lit(-1)).alias("asof_value_cents"),
+    )
+
+
 def q_events_range_counts(spark, sf_dir):
     # binned range join (operators/temporal.py): clicks within ±10 min
     # of each error event, bucketized equi-join instead of an
@@ -814,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_sessionize_salted": q_events_sessionize_salted,
         "events_asof_join": q_events_asof_join,
+        "events_asof_join_narrow": q_events_asof_join_narrow,
         "events_range_counts": q_events_range_counts,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -1578,4 +1621,7 @@ FROM documents, range(0, 64) t(k)
     # the salted skew path must produce the IDENTICAL sessions — one
     # oracle string serves both (the whole point of the pin)
     oracles["events_sessionize_salted"] = oracles["events_sessionize"]
+    # the narrow-core (wide-payload) as-of path must produce the
+    # IDENTICAL attribution — one oracle string serves both paths
+    oracles["events_asof_join_narrow"] = oracles["events_asof_join"]
     return oracles

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_sessionize_salted",
     "events_asof_join",
+    "events_asof_join_narrow",
     "events_range_counts",
     "langid",
     "quality_score",

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from tesseract_recognize_spark.caching import finalize_and_unpersist
+from tesseract_recognize_spark.caching import finalize, materialize_projection
 
 __all__ = [
     "hash64_expr",
@@ -233,6 +233,8 @@ def ngram_jaccard_pairs(
     band_size: int = 4,
     est_min_agree: int = 8,
     bucket_cap: int | None = 100,
+    materialize: str = "persist",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: exact character n-gram Jaccard verification of
     the MinHash-LSH candidate pairs.
@@ -267,14 +269,18 @@ def ngram_jaccard_pairs(
     + 16-aggregate pipeline re-executed per consumer). The OPERATOR owns
     cleanup (round-4 invariant): the verified pair list — bounded by the
     duplicate rate, not the corpus — materializes eagerly and both
-    intermediates unpersist before return
-    (``caching.finalize_and_unpersist``). At 10^12 docs write ``sigs`` to
-    a checkpoint table instead of block-manager persist.
+    intermediates are freed before return (``caching.finalize``). At
+    10^12 docs pass ``materialize="checkpoint_table"`` with a job-scoped
+    ``scratch_dir``: ``sigs`` becomes a parquet scratch table (no
+    block-manager footprint; executor loss = re-read, not a recompute of
+    the shingle pipeline) instead of a block-manager persist.
     """
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs, free_sigs = materialize_projection(
+        minhash_signatures(docs, text_col, n_hashes, shingle_k),
+        how=materialize,
+        scratch_dir=scratch_dir,
     )
     n_bands = n_hashes // band_size
     bands = sigs.select(
@@ -365,4 +371,10 @@ def ngram_jaccard_pairs(
     verified = joined.select(
         "doc_a", "doc_b", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
-    return finalize_and_unpersist(verified, [sigs, prefiltered])
+    # prefiltered is candidate-set sized (bounded by the duplicate rate,
+    # not the corpus) — block-manager persist is the right shape for it
+    # at any scale; only the corpus-sized sigs gets the materialize knob.
+    return finalize(
+        verified,
+        [free_sigs, lambda: prefiltered.unpersist(blocking=True)],
+    )

@@ -20,7 +20,10 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from tesseract_recognize_spark.caching import finalize_and_unpersist
+from tesseract_recognize_spark.caching import (
+    finalize,
+    materialize_projection,
+)
 
 __all__ = [
     "cosine_sim",
@@ -299,6 +302,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    materialize: str = "persist",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     then exact cosine re-rank. The bucket equi-join replaces the cross
@@ -378,19 +383,19 @@ def lsh_topk(
     # and the projection runs once. Footprint is the vector table +
     # (norm, buckets) — MEMORY_AND_DISK spills gracefully. The OPERATOR
     # owns cleanup (round-4 invariant): the bounded top-k result is
-    # materialized eagerly and `base` is unpersisted before returning —
-    # see caching.finalize_and_unpersist. At 10^12 rows, the same note as
-    # dedup's signature table applies: write the projection to a
-    # checkpoint TABLE instead of block-manager persist.
-    from pyspark import StorageLevel
-
-    base = (
+    # materialized eagerly and `base` is freed before returning — see
+    # caching.finalize / materialize_projection. At 10^12 rows pass
+    # materialize="checkpoint_table" with a job-scoped scratch_dir: the
+    # projection becomes a parquet scratch table (no block-manager
+    # footprint, executor-loss = re-read not recompute) instead of a
+    # block-manager persist.
+    base, free_base = materialize_projection(
         emb.select(
             F.col(id_col).cast("bigint").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .mapInPandas(prep, schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).mapInPandas(prep, schema),
+        how=materialize,
+        scratch_dir=scratch_dir,
     )
     queries = base.filter(F.col("vec_id") < n_queries) if n_queries else base
     q, c = queries.alias("q"), base.alias("c")
@@ -411,7 +416,7 @@ def lsh_topk(
         pairs = pairs.groupBy("vec_id", "neighbor_id").agg(
             F.max("sim").alias("sim")
         )
-    return finalize_and_unpersist(two_phase_topk(pairs, k), [base])
+    return finalize(two_phase_topk(pairs, k), [free_base])
 
 
 def ivf_topk(
@@ -424,6 +429,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    materialize: str = "persist",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: an inverted-file index over centroid
     cells — the other classic ANN scale path next to ``lsh_topk``.
@@ -475,12 +482,12 @@ def ivf_topk(
 
     Output: (vec_id, rank, neighbor_id) — floats stay internal, like
     every ANN operator here. The assigned projection feeds both join
-    sides and is persisted; the operator owns the cleanup — the top-k
-    result materializes eagerly and the projection unpersists before
-    return (as with lsh_topk).
+    sides and is materialized (``materialize="persist"`` default;
+    ``"checkpoint_table"`` + ``scratch_dir`` for the 10^12-row shape);
+    the operator owns the cleanup — the top-k result materializes
+    eagerly and the projection is freed before return (as with
+    lsh_topk).
     """
-    from pyspark import StorageLevel
-
     base = emb.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -546,10 +553,14 @@ def ivf_topk(
                 "rn": np.tile(np.arange(1, take + 1), len(pdf)),
             })
 
-    assigned = base.mapInPandas(
-        assign, "vec_id bigint, v array<double>, norm double, "
-                "cell bigint, rn int",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned, free_assigned = materialize_projection(
+        base.mapInPandas(
+            assign, "vec_id bigint, v array<double>, norm double, "
+                    "cell bigint, rn int",
+        ),
+        how=materialize,
+        scratch_dir=scratch_dir,
+    )
     corpus = assigned.filter(F.col("rn") == 1)
     probes = assigned if n_queries is None else assigned.filter(
         F.col("vec_id") < n_queries
@@ -567,7 +578,7 @@ def ivf_topk(
         F.col("c.vec_id").alias("neighbor_id"),
         sim.alias("sim"),
     )
-    return finalize_and_unpersist(two_phase_topk(pairs, k), [assigned])
+    return finalize(two_phase_topk(pairs, k), [free_assigned])
 
 
 def embedding_cosine_pairs(
@@ -577,6 +588,8 @@ def embedding_cosine_pairs(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: str = "persist",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: every (vec_a < vec_b) whose
     cosine similarity ≥ threshold, with candidates restricted to vectors
@@ -590,10 +603,11 @@ def embedding_cosine_pairs(
     pair is missed iff any of the ``bits`` hyperplanes separates it:
     P[all agree] = (1 - θ/π)^bits, high exactly for the near-parallel
     pairs dedup cares about); ``bits`` trades recall for candidate
-    volume. The bucketed+normed projection is persisted for the same
-    reason as in lsh_topk (feeds both self-join sides); the operator
-    owns the cleanup — the thresholded pair list materializes eagerly
-    and the projection unpersists before return.
+    volume. The bucketed+normed projection is materialized for the same
+    reason as in lsh_topk (feeds both self-join sides; persist default,
+    ``materialize="checkpoint_table"`` + ``scratch_dir`` at 10^12
+    rows); the operator owns the cleanup — the thresholded pair list
+    materializes eagerly and the projection is freed before return.
 
     Hot paths are Arrow-vectorized with the exact left-to-right
     dimension fold (see ivf_topk): norms + all ``bits`` hyperplane
@@ -603,8 +617,6 @@ def embedding_cosine_pairs(
     DuckDB oracle evaluates, minus the interpreted-expression tax
     (the chains exceed Janino's 64 KB codegen limit).
     """
-    from pyspark import StorageLevel
-
     import numpy as np
 
     spark = emb.sparkSession
@@ -635,16 +647,16 @@ def embedding_cosine_pairs(
                 "bucket": ((proj > 0) * p[None, :]).sum(axis=1),
             })
 
-    base = (
+    base, free_base = materialize_projection(
         emb.select(
             F.col(id_col).cast("bigint").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .mapInPandas(
+        ).mapInPandas(
             prep,
             "vec_id bigint, v array<double>, norm double, bucket bigint",
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ),
+        how=materialize,
+        scratch_dir=scratch_dir,
     )
     a, b = base.alias("a"), base.alias("b")
     sim = _pair_dot_lr(F.col("a.v"), F.col("b.v")) / (
@@ -662,4 +674,4 @@ def embedding_cosine_pairs(
             F.col("b.vec_id").alias("vec_b"),
         )
     )
-    return finalize_and_unpersist(pairs, [base])
+    return finalize(pairs, [free_base])

@@ -179,6 +179,8 @@ def asof_join(
     right_ts: str = "ts_us",
     right_payload: tuple[str, ...] = (),
     right_id: str = "event_id",
+    rejoin_payloads: bool = False,
+    left_id: str | None = None,
 ) -> DataFrame:
     """For each left row, the right row with the greatest ``right_ts``
     <= ``left_ts`` within the same ``on`` key (NULL payload when no
@@ -191,7 +193,56 @@ def asof_join(
     exchange of |L|+|R| rows — never the O(|L|·|R|) nested-loop plan
     Spark gives a raw inequality join. Equal-timestamp right rows sort
     before left (<= match) and resolve to the largest ``right_id``.
+
+    ``rejoin_payloads=True`` is the wide-payload scale path (requires
+    ``left_id``, a unique left key). The union/sort/window above runs
+    over a NARROW projection — (key, id, ts) only — and both sides'
+    payloads hash-join back onto the matched id pairs afterwards.
+    Trade: two extra uniform-key hash joins (which AQE can split) in
+    exchange for keeping every wide column out of the
+    ``partitionBy(on)`` sort — the sort is the operator's skew point
+    (one hot key = one task sorting that key's whole history), so at
+    10^12 rows with KB-wide rows the narrow sort + id-keyed joins is
+    the plan that survives. Output rows/columns are identical to the
+    default path (pinned by tests/test_temporal.py).
     """
+    if rejoin_payloads:
+        if not left_id:
+            raise ValueError(
+                "asof_join(rejoin_payloads=True) needs left_id — a "
+                "UNIQUE left key to rejoin payloads on (a non-unique "
+                "key would duplicate left rows)"
+            )
+        asof_id = f"asof_{right_id}"
+        asof_ts = f"asof_{right_ts}"
+        # narrow core: only (key, id, ts) ride the union+window exchange
+        core = asof_join(
+            left.select(on, left_id, F.col(left_ts).alias("_lts")),
+            right.select(on, right_ts, right_id),
+            on,
+            left_ts="_lts",
+            right_ts=right_ts,
+            right_payload=(),
+            right_id=right_id,
+        ).select(left_id, asof_id, asof_ts)
+        out = left.join(core, on=left_id, how="inner")
+        if right_payload:
+            # rejoin on (key, id), not id alone: right_id only has to be
+            # unique WITHIN a key (the same contract the default path's
+            # tie-break needs), not globally
+            rp = right.select(
+                on,
+                F.col(right_id).alias(asof_id),
+                *[F.col(c).alias(f"asof_{c}") for c in right_payload],
+            )
+            out = out.join(rp, on=[on, asof_id], how="left")
+        # column order identical to the default path
+        return out.select(
+            *left.columns,
+            asof_id,
+            asof_ts,
+            *[f"asof_{c}" for c in right_payload],
+        )
     reserved = {"_ts", "_side", "_tie"}
     clash = reserved & set(left.columns)
     if clash:

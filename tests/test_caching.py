@@ -102,3 +102,45 @@ def test_connected_components_frees_edges(spark):
         # small constant of those (rounds+1 on this 2-hop graph) may
         # linger until the next sweep — never the explicit persists
         assert _n_persisted(spark) - before <= 5
+
+
+def test_checkpoint_table_materialization_matches_persist(spark, emb, docs, tmp_path):
+    """materialize="checkpoint_table" is result-identical to the default
+    persist path, leaves NO new block-manager entries beyond the result
+    checkpoint, and deletes its scratch directory before returning."""
+    import os
+
+    from tesseract_recognize_spark.operators.dedup import ngram_jaccard_pairs
+    from tesseract_recognize_spark.operators.similarity import lsh_topk
+
+    scratch = str(tmp_path / "ann_scratch")
+    before = _n_persisted(spark)
+    via_ckpt = lsh_topk(
+        emb, dim=8, k=3, bits=2,
+        materialize="checkpoint_table", scratch_dir=scratch,
+    )
+    got = {(r["vec_id"], r["neighbor_id"]) for r in via_ckpt.collect()}
+    assert _n_persisted(spark) - before <= 1
+    assert not os.path.exists(scratch)  # operator owns scratch cleanup
+
+    via_persist = lsh_topk(emb, dim=8, k=3, bits=2)
+    want = {(r["vec_id"], r["neighbor_id"]) for r in via_persist.collect()}
+    assert got == want
+
+    scratch2 = str(tmp_path / "sigs_scratch")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.8,
+        materialize="checkpoint_table", scratch_dir=scratch2,
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {(100, 101)}
+    assert not os.path.exists(scratch2)
+
+
+def test_materialize_projection_rejects_bad_args(spark):
+    from tesseract_recognize_spark.caching import materialize_projection
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="scratch_dir"):
+        materialize_projection(df, how="checkpoint_table")
+    with pytest.raises(ValueError, match="unknown how"):
+        materialize_projection(df, how="bogus")

@@ -5,6 +5,7 @@ hand, independent of the DuckDB gate."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F, types as T
 
 from tesseract_recognize_spark.operators.temporal import (
@@ -143,3 +144,96 @@ def test_range_join_counts_edges(spark):
     )
     got2 = range_join_counts(far, probes, tolerance_minutes=10).collect()
     assert got2[0]["n_within"] == 0
+
+
+def test_asof_join_rejoin_payloads_identical(spark):
+    """The wide-payload scale path (narrow union/window core + payload
+    rejoin) must produce the IDENTICAL rows and columns as the default
+    path — including no-prior NULLs, equal-ts ties, and user isolation."""
+    ev = _events(
+        spark,
+        [
+            (1, 5, 10.0),
+            (1, 5, 20.0),
+            (1, 5, 0.0),
+            (1, 3, 0.0),
+            (1, 9, 30.0),
+            (1, 8, 0.0),
+            (2, 1, 0.0),
+            (2, 2, 40.0),
+            (2, 7, 0.0),
+        ],
+    )
+    us = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " ts)"
+        ).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        # a wide-ish payload column that must NOT ride the window sort
+        F.concat(F.lit("payload_"), F.col("event_id")).alias("blob"),
+    )
+    clicks = us.filter(F.col("value_cents") == 0).select(
+        "user_id", "event_id", "ts_us", "blob"
+    )
+    purchases = us.filter(F.col("value_cents") > 0).select(
+        "user_id", "event_id", "ts_us", "value_cents"
+    )
+    wide = asof_join(
+        clicks, purchases, on="user_id", right_payload=("value_cents",)
+    )
+    narrow = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_payload=("value_cents",),
+        rejoin_payloads=True,
+        left_id="event_id",
+    )
+    assert narrow.columns == wide.columns
+    key = lambda r: r["event_id"]  # noqa: E731
+    assert sorted(narrow.collect(), key=key) == sorted(
+        wide.collect(), key=key
+    )
+
+
+def test_asof_join_rejoin_payloads_per_key_right_ids(spark):
+    """right_id only has to be unique WITHIN a key (the default path's
+    tie-break contract): the payload rejoin keys on (key, id), so the
+    same right_id under two users must not cross-match or duplicate."""
+    left = spark.createDataFrame(
+        [(1, 101, 50), (2, 102, 50)], "user_id long, click_id long, ts_us long"
+    )
+    # right_id=7 appears under BOTH users, with different payloads
+    right = spark.createDataFrame(
+        [(1, 7, 10, 111), (2, 7, 20, 222)],
+        "user_id long, event_id long, ts_us long, cents long",
+    )
+    got = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts_us",
+        right_payload=("cents",),
+        rejoin_payloads=True,
+        left_id="click_id",
+    ).collect()
+    assert len(got) == 2
+    by_user = {r["user_id"]: r for r in got}
+    assert by_user[1]["asof_cents"] == 111
+    assert by_user[2]["asof_cents"] == 222
+
+
+def test_asof_join_rejoin_payloads_needs_left_id(spark):
+    ev = _events(spark, [(1, 5, 10.0)])
+    us = ev.select(
+        "user_id", "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " ts)"
+        ).alias("ts_us"),
+    )
+    with pytest.raises(ValueError, match="left_id"):
+        asof_join(us, us, on="user_id", rejoin_payloads=True)
