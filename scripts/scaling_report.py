@@ -226,6 +226,7 @@ almost never lands a fully storm-free window, while a 1-minute 40k
 in the marginal fit is this bias made visible).
 """
     ld_floor_effs = []
+    ld_marginal = None
     if low_density:
         ld_rows = []
         for s in low_density:
@@ -255,6 +256,41 @@ partitions = cores, media partitions = 4×cores).
 |---|---|---|---|---|---|---|---|
 {chr(10).join(ld_rows)}
 """
+        # job-size marginal fit WITHIN the low-density variant: pooled
+        # per-leg floors at each size, slope ratio = fixed-cost-free eff
+        by_docs_ld: dict[int, dict] = {}
+        for s in low_density:
+            d = by_docs_ld.setdefault(
+                s["docs"], {"min_2": s["min_2"], "min_8": s["min_8"]})
+            d["min_2"] = min(d["min_2"], s["min_2"])
+            d["min_8"] = min(d["min_8"], s["min_8"])
+        ld_sizes = sorted(by_docs_ld)
+        if len(ld_sizes) >= 2:
+            sm_ld, bg_ld = by_docs_ld[ld_sizes[0]], by_docs_ld[ld_sizes[-1]]
+            dd_ld = ld_sizes[-1] - ld_sizes[0]
+            c2 = (bg_ld["min_2"] - sm_ld["min_2"]) / dd_ld
+            c8 = (bg_ld["min_8"] - sm_ld["min_8"]) / dd_ld
+            ld_marginal = c2 / (4 * c8) if c8 > 0 else float("nan")
+            big_eff = bg_ld["min_2"] / (4 * bg_ld["min_8"])
+            out += f"""
+The job-size step WITHIN this variant measures the fixed-cost-free
+marginal efficiency directly — pooled per-leg floors at
+{ld_sizes[0]:,} vs {ld_sizes[-1]:,} docs give slope ratio
+c_2/(4·c_8) = **{ld_marginal:.3f}**, the engine term a real
+multi-hour 100-TB job runs at on this 4× step. The
+{ld_sizes[-1] // 1000}k floors efficiency itself:
+**{big_eff:.3f}**."""
+            if ld_sizes == [160_000, 320_000]:
+                out += """
+This point was PRE-REGISTERED: before the 320k session started, the
+Amdahl decomposition of the 160k floors (t_N = c·docs/N_eff + F with F
+shared across legs) predicted 320k floors efficiency **0.78–0.83**
+across the probe's 2→8 host-term range 0.86–0.96 — derivation committed
+to PLANS.md ahead of the run (git history is the timestamp), measured
+value rendered here from the ledger afterward.
+"""
+            else:
+                out += "\n"
 
     out += f"""
 ## Host-physics ceiling (same-day, Spark-free)
@@ -365,6 +401,8 @@ python scripts/lockstep_pairs.py --cycles 6 --docs 320000 --warmups 2 \\
     --ledger BENCH/lockstep_ledger_r05.jsonl             # asymptote point
 python scripts/lockstep_pairs.py --docs 160000 --n 2 --xn 8 --cycles 6 \\
     --warmups 1 --ledger BENCH/lockstep_ledger_r05.jsonl  # below-the-wall N vs 4N
+python scripts/lockstep_pairs.py --docs 320000 --n 2 --xn 8 --cycles 4 \\
+    --warmups 1 --ledger BENCH/lockstep_ledger_r05.jsonl  # pre-registered asymptote point
 python scripts/cpu_inflation_probe.py 300 3          # host-physics probe
 python scripts/scaling_report.py                     # this file
 ```
@@ -379,6 +417,8 @@ python scripts/scaling_report.py                     # this file
         "probe_ceiling": [round(r_lo, 3), round(r_hi, 3)],
         "framework_attributable": round(corrected, 3),
         "low_density_2v8_floor_effs": [round(e, 3) for e in ld_floor_effs],
+        "low_density_marginal": (round(ld_marginal, 3)
+                                 if ld_marginal is not None else None),
     }))
 
 
