@@ -38,6 +38,7 @@ from tesseract_recognize_spark.operators.textstats import (
     token_counts,
 )
 from tesseract_recognize_spark.operators.explode import explode_spans
+from tesseract_recognize_spark.partitioning import spread_small_scan
 from tesseract_recognize_spark.operators.multimodal import (
     decode_audio_features,
     decode_image_features,
@@ -64,7 +65,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spans_from_sf_documents(load_table(spark, sf_dir, "documents"))
+    # spread BEFORE the span construction: the explode + both branch
+    # projections otherwise fuse into the one-row-group scan task
+    docs = spans_from_sf_documents(
+        spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     cfg = ExtractConfig(media_partitions=32)
     out = extract(docs, cfg)
     return out.select(
@@ -235,7 +240,9 @@ def q_extract_region_crops(spark, sf_dir):
     # Crop selection derives from the deterministic layout contract,
     # computed EXECUTOR-side (mapInPandas over the media spans) — no
     # driver-side materialization anywhere in the workflow.
-    docs = spans_from_sf_documents(load_table(spark, sf_dir, "documents"))
+    docs = spans_from_sf_documents(
+        spread_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     media = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")
@@ -255,7 +262,9 @@ def q_page_set_select(spark, sf_dir):
     # S2: page-set selection ("file.pdf[0-2,5]") — filter media spans by
     # 0-based ordinal INSIDE the spans array, before the explode (the
     # skip-before-decode analog); survivors renumber (media_idx 1..n).
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     with_spans = docs.select(
         "doc_id",
         F.array(
@@ -308,7 +317,9 @@ def q_multimodal_image_features(spark, sf_dir):
     # mean-pool to 8×8 features. The gradient makes every pooled cell
     # closed-form ((doc_id%200) + 4i + 2j + 1.5, exact in float64), so the
     # whole decode pipeline sits under the DuckDB hash gate.
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def make(batches):
         import numpy as np
@@ -370,7 +381,9 @@ def q_multimodal_codec_matrix(spark, sf_dir):
     # container — which the oracle states once while still pinning
     # per-container mime sniffing, decoded channel counts, and
     # bit-exact pixel recovery through five distinct decoders.
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def make(batches):
         import numpy as np
@@ -757,7 +770,9 @@ def q_multimodal_audio_features(spark, sf_dir):
     # sum-of-|sample| features. All-integer arithmetic, so the whole
     # decode pipeline sits under the DuckDB hash gate — the audio analog
     # of multimodal_image_features.
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def make(batches):
         import numpy as np

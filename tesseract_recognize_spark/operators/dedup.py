@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from tesseract_recognize_spark.caching import finalize, materialize_projection
+from tesseract_recognize_spark.partitioning import spread_small_scan
 
 __all__ = [
     "hash64_expr",
@@ -105,8 +106,18 @@ def minhash_signatures(
     One md5 per shingle position; universal hashing g_i(h) = (a_i·h + b_i)
     mod p over the 31-bit base hash keeps products < 2^62 — no overflow in
     any engine.
+
+    The md5-per-shingle pass is the dedup family's dominant per-row cost
+    and would otherwise fuse into the scan stage — one task per input
+    row group (guide §2.5, input skew). ``spread_small_scan`` inserts a
+    corpus-sized exchange ONLY when the scan under-parallelizes; the
+    partial min-aggregation still runs map-side after it, and the
+    post-aggregate exchange carries the same per-doc signature rows
+    either way.
     """
-    exploded = shingle_hashes(docs, text_col, shingle_k)
+    exploded = shingle_hashes(
+        spread_small_scan(docs, "doc_id"), text_col, shingle_k
+    )
     aggs = []
     for i in range(n_hashes):
         a, b = mh_coeffs(i)
@@ -201,6 +212,7 @@ def simhash_signature(
     One explode + one hash-aggregate (map-side combinable: the per-bit
     votes are plain sums)."""
     tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    docs = spread_small_scan(docs, "doc_id")
     tok = docs.select(
         "doc_id", F.explode(tokens).alias("tok")
     ).where(F.length("tok") > 0)
@@ -277,6 +289,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
+    # one spread serves both consumers of docs (the signature pipeline
+    # and the verify-stage shingle rebuild) — no-op when the scan is
+    # already parallel; see minhash_signatures' docstring
+    docs = spread_small_scan(docs, "doc_id")
     sigs, free_sigs = materialize_projection(
         minhash_signatures(docs, text_col, n_hashes, shingle_k),
         how=materialize,

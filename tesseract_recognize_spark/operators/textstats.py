@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from tesseract_recognize_spark.partitioning import spread_small_scan
+
 __all__ = [
     "STOPWORDS",
     "langid_stopwords",
@@ -48,6 +50,7 @@ def langid_stopwords(docs: DataFrame, text_col: str = "text") -> DataFrame:
     with fixed language order as the tie-break (a deliberately simple,
     fully deterministic heuristic — the point is the distributed shape:
     per-row array intersection, no shuffle at all)."""
+    docs = spread_small_scan(docs, "doc_id")
     votes = {
         lang: _count_in(text_col, sw) for lang, sw in STOPWORDS.items()
     }
@@ -73,6 +76,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     reproducible in the oracle. Features follow the usual web-corpus
     heuristics: length, alpha ratio, punct ratio, stopword ratio, mean
     word length."""
+    docs = spread_small_scan(docs, "doc_id")
     t = F.col(text_col)
     n = F.length(t).cast("double")
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
@@ -111,6 +115,7 @@ BPEISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per doc."""
+    docs = spread_small_scan(docs, "doc_id")
     t = F.col(text_col)
     ws = F.size(F.filter(_words(t), lambda w: F.length(w) > 0))
     bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPEISH_PATTERN), 0))
@@ -140,6 +145,7 @@ def tfidf_top_terms(
     WindowGroupLimit. No driver collect; every shuffle keys on
     (doc_id, term) or term.
     """
+    docs = spread_small_scan(docs, "doc_id")
     tok = docs.select(
         "doc_id", F.explode(_words(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
@@ -219,6 +225,7 @@ def group_quantiles(
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical content fingerprint: md5 of the lowercased,
     whitespace-collapsed text (the exact-dedup key after normalization)."""
+    docs = spread_small_scan(docs, "doc_id")
     norm = F.regexp_replace(
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
         r"^ | $",

@@ -39,6 +39,15 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled-hash join where its size guards hold (guide §3.1/§9):
+        # the dedup band self-joins and verify joins are small-per-partition
+        # hash joins, not sorts; the static pick keeps canBuildLocalHashMap's
+        # size bound and AQE's rewrite is capped per partition, so the choice
+        # degrades back to sort-merge at scale instead of OOMing
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",

@@ -108,6 +108,23 @@ def test_star_equals_label_random_graph(spark):
     assert a == b
 
 
+def test_edge_sig_distinguishes_equal_count_sets(spark):
+    """The one-aggregate fixpoint signature (round-6 star optimization)
+    must differ for same-size edge sets that differ only in pairing —
+    here both sets share count, Σu AND Σv, so only the xxhash64 term can
+    tell them apart (the case the former count()-only shortcut missed) —
+    and must be invariant to row order and partitioning."""
+    from tesseract_recognize_spark.operators.components import _edge_sig
+
+    a = spark.createDataFrame([(5, 1), (6, 2)], "u: bigint, v: bigint")
+    b = spark.createDataFrame([(5, 2), (6, 1)], "u: bigint, v: bigint")
+    assert _edge_sig(a) != _edge_sig(b)
+    a2 = spark.createDataFrame(
+        [(6, 2), (5, 1)], "u: bigint, v: bigint"
+    ).repartition(7)
+    assert _edge_sig(a) == _edge_sig(a2)
+
+
 def test_star_converges_on_long_chain_where_label_cannot(spark):
     """A 1000-node chain has diameter 999: min-label propagation needs
     ~999 rounds (raises at max_iter=25), while the star rewrite halves
