@@ -44,7 +44,7 @@ pressure (MEMORY_AND_DISK evicts oldest first).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["connected_components"]
 
@@ -113,39 +113,47 @@ def _label_propagation(edges: DataFrame, max_iter: int) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Rewire every neighbor LARGER than u to u's neighborhood minimum:
-    emit (v, min(Γ⁺(u))) for v ∈ Γ(u), v > u, over the symmetric view."""
+    emit (v, min(Γ⁺(u))) for v ∈ Γ(u), v > u, over the symmetric view.
+
+    The per-neighborhood minimum is a window aggregate over the SAME
+    hash(u) exchange the emit projection runs on — ONE shuffle of the
+    symmetric edges, where the former groupBy-min + equi-join shape
+    shuffled them twice (partial mins AND the join probe side). No
+    terminal distinct: duplicates cannot change ``_small_star``'s
+    per-neighborhood minima, and its terminal distinct canonicalizes the
+    generation — dropping a third per-round exchange."""
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("_mv"))
-        .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
-    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Collapse each node's SMALLER neighborhood onto its minimum: orient
-    edges big→small, emit (v, min(Γ⁺(u))) for v ∈ Γ⁺(u) \\ {min}."""
+    edges big→small, emit (v, min(Γ⁺(u))) for v ∈ Γ⁺(u) \\ {min}, plus
+    (u, min) for every center (the former explicit self-edge union — all
+    oriented neighbors sit below u, so min < u holds unconditionally and
+    the center row always survives the v ≠ min filter).
+
+    Same one-exchange window-min shape as ``_large_star``; the terminal
+    distinct both dedupes the per-row center emissions and canonicalizes
+    the generation for the fixpoint signature."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m < u
-    withself = oriented.unionByName(
-        oriented.select("u").distinct().select("u", F.col("u").alias("v"))
+    w = Window.partitionBy("u")
+    st = oriented.withColumn("m", F.min("v").over(w))  # m <= v < u
+    part_neighbors = st.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
     )
-    return (
-        withself.join(mins, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
-    )
+    part_centers = st.select("u", F.col("m").alias("v"))
+    return part_neighbors.unionByName(part_centers).distinct()
 
 
 def _edge_sig(df: DataFrame) -> tuple:

@@ -375,12 +375,30 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     docs_c = docs.join(cand_ids, "doc_id", "left_semi")
-    sets = shingle_hashes(docs_c, text_col, shingle_k).groupBy("doc_id").agg(
-        F.collect_set("h").alias("sh")
+    # persisted: `sets` feeds BOTH pair sides below and Catalyst does not
+    # deduplicate the two references — unpersisted, the whole semi-join +
+    # shingle-explode + collect_set pipeline executed twice (measured in
+    # the round-6 event-log audit: two identical ~3.4s stages per query)
+    sets = (
+        shingle_hashes(docs_c, text_col, shingle_k)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = prefiltered.join(a, "doc_a").join(b, "doc_b")
+    # The per-pair intersect is row-expensive but byte-light — exactly the
+    # shape AQE's byte-based partition coalescing collapses onto ONE task
+    # (a few MB of pair keys ⇒ one partition ⇒ a serial verify; measured
+    # 2×3.4s single-task stages at sf0.1). An explicit repartition pins
+    # the verify stage at cluster parallelism; it replaces (not adds to)
+    # the join's own exchange of the pair list.
+    par = prefiltered.sparkSession.sparkContext.defaultParallelism
+    joined = (
+        prefiltered.repartition(par, "doc_a")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -392,5 +410,9 @@ def ngram_jaccard_pairs(
     # at any scale; only the corpus-sized sigs gets the materialize knob.
     return finalize(
         verified,
-        [free_sigs, lambda: prefiltered.unpersist(blocking=True)],
+        [
+            free_sigs,
+            lambda: prefiltered.unpersist(blocking=True),
+            lambda: sets.unpersist(blocking=True),
+        ],
     )

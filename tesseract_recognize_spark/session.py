@@ -48,6 +48,12 @@ def build_session(
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
         )
+        # 64 MB broadcast budget (guide §3.1: "a few hundred MB is usually
+        # fine"): lets AQE broadcast runtime-small sides — the dedup verify's
+        # candidate-bounded shingle sets, ANN query blocks — so heavy probe
+        # sides never reshuffle; sides that outgrow it at scale fall back to
+        # shuffled joins by the same runtime sizing
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
