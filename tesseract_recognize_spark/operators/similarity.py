@@ -24,6 +24,7 @@ from tesseract_recognize_spark.caching import (
     finalize,
     materialize_projection,
 )
+from tesseract_recognize_spark.partitioning import spread_small_scan
 
 __all__ = [
     "cosine_sim",
@@ -232,7 +233,7 @@ def brute_force_topk(
     With ``n_queries=None`` every corpus vector is a query — nothing is
     collectable at scale, so the plan stays the broadcast-join +
     rank-limit-pushdown shape."""
-    base = emb.select(
+    base = spread_small_scan(emb, id_col).select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
@@ -390,7 +391,7 @@ def lsh_topk(
     # footprint, executor-loss = re-read not recompute) instead of a
     # block-manager persist.
     base, free_base = materialize_projection(
-        emb.select(
+        spread_small_scan(emb, id_col).select(
             F.col(id_col).cast("bigint").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         ).mapInPandas(prep, schema),
@@ -488,7 +489,7 @@ def ivf_topk(
     eagerly and the projection is freed before return (as with
     lsh_topk).
     """
-    base = emb.select(
+    base = spread_small_scan(emb, id_col).select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("norm", F.expr(f"sqrt({_dot_sql('v', 'v', dim)})"))
@@ -648,7 +649,7 @@ def embedding_cosine_pairs(
             })
 
     base, free_base = materialize_projection(
-        emb.select(
+        spread_small_scan(emb, id_col).select(
             F.col(id_col).cast("bigint").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         ).mapInPandas(
