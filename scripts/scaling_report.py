@@ -270,9 +270,15 @@ partitions = cores, media partitions = 4×cores).
             dd_ld = ld_sizes[-1] - ld_sizes[0]
             c2 = (bg_ld["min_2"] - sm_ld["min_2"]) / dd_ld
             c8 = (bg_ld["min_8"] - sm_ld["min_8"]) / dd_ld
-            ld_marginal = c2 / (4 * c8) if c8 > 0 else float("nan")
-            big_eff = bg_ld["min_2"] / (4 * bg_ld["min_8"])
-            out += f"""
+            # None (not NaN): round(nan) would flow into json.dumps and
+            # emit a bare NaN token — invalid JSON for downstream parsers
+            ld_marginal = c2 / (4 * c8) if c8 > 0 else None
+            big_eff = (
+                bg_ld["min_2"] / (4 * bg_ld["min_8"])
+                if bg_ld["min_8"] > 0 else None
+            )
+            if ld_marginal is not None and big_eff is not None:
+                out += f"""
 The job-size step WITHIN this variant measures the fixed-cost-free
 marginal efficiency directly — pooled per-leg floors at
 {ld_sizes[0]:,} vs {ld_sizes[-1]:,} docs give slope ratio
@@ -280,6 +286,11 @@ c_2/(4·c_8) = **{ld_marginal:.3f}**, the engine term a real
 multi-hour 100-TB job runs at on this 4× step. The
 {ld_sizes[-1] // 1000}k floors efficiency itself:
 **{big_eff:.3f}**."""
+            else:
+                out += """
+The larger job's pooled floors do not show a positive 8-core slope on
+this step (noisy floors) — the marginal-efficiency ratio is undefined
+and omitted rather than rendered from a non-positive slope."""
             if ld_sizes == [160_000, 320_000]:
                 out += """
 This point was PRE-REGISTERED: before the 320k session started, the

@@ -39,8 +39,19 @@ def finalize(result: DataFrame, cleanups: Iterable) -> DataFrame:
     try:
         return result.localCheckpoint(eager=True)
     finally:
+        # every cleanup runs even if an earlier one raises (a failed
+        # scratch-table delete must not strand persisted blocks — the
+        # exact leak this module exists to prevent); the first error is
+        # re-raised after all cleanups have run
+        first_err = None
         for fn in cleanups:
-            fn()
+            try:
+                fn()
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = exc
+        if first_err is not None:
+            raise first_err
 
 
 def finalize_and_unpersist(
@@ -95,6 +106,21 @@ def materialize_projection(
                 "scratch_dir (a job-scoped scratch path)"
             )
         spark = df.sparkSession
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(scratch_dir)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        # cleanup() deletes scratch_dir recursively — refuse to adopt a
+        # pre-existing non-empty directory rather than destroy a caller's
+        # data at write AND at cleanup
+        if fs.exists(jpath) and fs.listStatus(jpath):
+            raise ValueError(
+                "materialize_projection(how='checkpoint_table'): "
+                f"scratch_dir {scratch_dir!r} exists and is not empty — "
+                "pass a fresh job-scoped scratch path (it is deleted "
+                "recursively on cleanup)"
+            )
         df.write.mode("overwrite").parquet(scratch_dir)
         out = spark.read.parquet(scratch_dir)
 

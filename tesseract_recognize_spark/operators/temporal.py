@@ -205,6 +205,20 @@ def asof_join(
     10^12 rows with KB-wide rows the narrow sort + id-keyed joins is
     the plan that survives. Output rows/columns are identical to the
     default path (pinned by tests/test_temporal.py).
+
+    Narrow-path equivalence CONTRACT (documented limits, not validated
+    per row — a validation pass would cost a full scan):
+      * ``right_payload`` columns must be NON-NULL on matched rows: the
+        default path carries each payload with its own
+        last(ignorenulls) — a NULL payload on the matched right row
+        would fall back to an OLDER right row's value there, while the
+        narrow path rejoins the matched row's payload verbatim (NULL).
+      * ``left_id`` must be NON-NULL: NULL keys never equi-join, so the
+        narrow path would drop such left rows where the default path
+        keeps them with NULL as-of columns. (A missing ``left_id``
+        raises below; uniqueness and NULLs are the caller's contract.)
+    The engine's event tables satisfy both (event_id and value are
+    required columns); callers adapting other schemas must check them.
     """
     if rejoin_payloads:
         if not left_id:
