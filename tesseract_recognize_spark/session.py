@@ -54,6 +54,11 @@ def build_session(
         # sides never reshuffle; sides that outgrow it at scale fall back to
         # shuffled joins by the same runtime sizing
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # skip per-DataFrame-call Python stack capture + the JVM origin
+        # round trip (PySpark's own "reduce performance slowdown" knob):
+        # the extraction pipeline builds ~10k Column expressions per plan
+        # and construction is driver-latency-bound, not error-context-bound
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
