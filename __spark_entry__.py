@@ -135,8 +135,14 @@ def q_word_fill_window(spark, sf_dir):
 
 def q_dominant_orientation(spark, sf_dir):
     # P2 shape: per-group circular vote + bucket — integer-exact variant
-    # (angles quantized to 90°, bucket decided by integer comparisons)
-    li = load_table(spark, sf_dir, "lineitem")
+    # (angles quantized to 90°, bucket decided by integer comparisons).
+    # Spread on the group key: the partial aggregate otherwise fuses into
+    # the single-row-group scan task, and the exchange it introduces is
+    # the SAME hash(l_orderkey) distribution the group-by needs — no
+    # second exchange appears in the plan.
+    li = spread_small_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
     q = F.col("l_partkey") % 4
     dx = F.when(q == 0, 1).when(q == 2, -1).otherwise(0)
     dy = F.when(q == 1, 1).when(q == 3, -1).otherwise(0)

@@ -80,6 +80,57 @@ def run_explain(spark, sf_dir, outdir, names):
         print(f"explained {name}", file=sys.stderr)
 
 
+def run_explain_internal(spark, sf_dir, outdir):
+    """Dump the PRE-finalize plans of operators whose public query returns
+    a checkpointed leaf (ngram verify, ANN top-k): finalize/materialize are
+    monkeypatched to identity so the full lazy plan is visible. For plan
+    inspection only — results are NOT computed here."""
+    from tesseract_recognize_spark import caching
+    from tesseract_recognize_spark.operators import dedup, similarity
+
+    orig_fin, orig_mat = caching.finalize, caching.materialize_projection
+    caching.finalize = lambda result, cleanups: result
+    caching.materialize_projection = lambda df, how="persist", scratch_dir=None: (df, lambda: None)
+    # the operator modules bound the names at import time
+    dedup.finalize = caching.finalize
+    dedup.materialize_projection = caching.materialize_projection
+    similarity.finalize = caching.finalize
+    similarity.materialize_projection = caching.materialize_projection
+    try:
+        from pyspark.sql import functions as F
+
+        from tesseract_recognize_spark.sources.testdata import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        os.makedirs(outdir, exist_ok=True)
+        targets = {
+            "dedup_ngram_jaccard_internal":
+                dedup.ngram_jaccard_pairs(docs, threshold=0.8),
+            "dedup_minhash_lsh_internal": dedup.minhash_lsh_pairs(docs),
+            "ann_lsh_topk_internal":
+                similarity.lsh_topk(emb, dim=64, k=5, bits=8, n_queries=50),
+            "dedup_embedding_cosine_internal":
+                similarity.embedding_cosine_pairs(
+                    emb.select("vec_id", "embedding"), dim=64,
+                    threshold=0.9, bits=8,
+                ),
+        }
+        for name, df in targets.items():
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            with open(os.path.join(outdir, f"{name}.txt"), "w") as f:
+                f.write(buf.getvalue())
+            print(f"explained {name}", file=sys.stderr)
+    finally:
+        caching.finalize = orig_fin
+        caching.materialize_projection = orig_mat
+        dedup.finalize, dedup.materialize_projection = orig_fin, orig_mat
+        similarity.finalize = orig_fin
+        similarity.materialize_projection = orig_mat
+
+
 def stages_ngram(spark, sf_dir):
     """Sub-stage isolation for the minhash/ngram family (suite cost #1)."""
     from pyspark.sql import functions as F
@@ -162,6 +213,8 @@ def main():
             run_queries(spark, sf_dir, sys.argv[2:])
         elif mode == "explain":
             run_explain(spark, sf_dir, sys.argv[2], sys.argv[3:])
+        elif mode == "explain_internal":
+            run_explain_internal(spark, sf_dir, sys.argv[2])
         elif mode == "stages":
             groups = sys.argv[2:] or ["ngram", "extract"]
             if "ngram" in groups:

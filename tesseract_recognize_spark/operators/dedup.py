@@ -187,6 +187,16 @@ def minhash_lsh_pairs(
             .where(F.col("_bsz") <= int(bucket_cap))
             .drop("_bsz")
         )
+    # The runtime-size-guarded BROADCAST of the band table is the right
+    # strategy here even though the build side re-runs the signature
+    # pipeline (nothing is persisted in this lazy operator): a shuffled
+    # self-join hashes every band bucket to ONE partition, so a mega-
+    # bucket's O(b²) pair generation serializes on one task (measured
+    # 14.6s → 47-67s at sf1 when forced to shuffle_hash), while the
+    # broadcast streams bucket rows independently and the skewed pair
+    # fan-out parallelizes across every stream partition. Past the 64 MB
+    # size guard the planner falls back to shuffled joins with AQE skew
+    # splitting — the correct large-scale degradation.
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (
