@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from tesseract_recognize_spark.caching import finalize, materialize_projection
+from tesseract_recognize_spark.exprcache import cached_exprs
 from tesseract_recognize_spark.partitioning import spread_small_scan
 
 __all__ = [
@@ -118,14 +119,19 @@ def minhash_signatures(
     exploded = shingle_hashes(
         spread_small_scan(docs, "doc_id"), text_col, shingle_k
     )
-    aggs = []
-    for i in range(n_hashes):
-        a, b = mh_coeffs(i)
-        aggs.append(
-            F.min(
-                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MH_P))
-            ).alias(f"mh{i}")
-        )
+
+    def build():
+        aggs = []
+        for i in range(n_hashes):
+            a, b = mh_coeffs(i)
+            aggs.append(
+                F.min(
+                    F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MH_P))
+                ).alias(f"mh{i}")
+            )
+        return aggs
+
+    aggs = cached_exprs(exploded, ("mh_aggs", n_hashes), build)
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
@@ -229,21 +235,28 @@ def simhash_signature(
     # materialize the hash once per token — the 32 per-bit votes must not
     # each recompute the md5 (Catalyst does not CSE across aggregates)
     tok = tok.select("doc_id", hash64_expr(F.col("tok")).alias("h"))
-    h = F.col("h")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
+
+    def build():
+        h = F.col("h")
+        votes = [
+            F.sum(
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+        sig = None
+        for b in range(bits):
+            term = F.when(
+                F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
+        return votes, sig.alias("simhash")
+
+    votes, sig = cached_exprs(tok, ("simhash", bits), build)
     agg = tok.groupBy("doc_id").agg(*votes)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.alias("simhash"))
+    return agg.select("doc_id", sig)
 
 
 def ngram_jaccard_pairs(
@@ -285,15 +298,17 @@ def ngram_jaccard_pairs(
          verify shuffle is proportional to candidates, not corpus.
          |∩| / (|a| + |b| - |∩|), exact int/double arithmetic.
 
-    Caching note: ``sigs`` and ``prefiltered`` are persisted
-    (MEMORY_AND_DISK) because each feeds multiple consumers that Catalyst
-    does not deduplicate under AQE (measured round 2: the shingle-explode
-    + 16-aggregate pipeline re-executed per consumer). The OPERATOR owns
+    Caching note: the post-cap ``bands`` table and ``prefiltered`` are
+    persisted (MEMORY_AND_DISK) because each feeds multiple consumers
+    that Catalyst does not deduplicate under AQE (measured round 2: the
+    shingle-explode + 16-aggregate pipeline re-executed per consumer;
+    round 6: with only the signatures cached, the band-hash projection +
+    bucket-cap window still re-ran per self-join side). The OPERATOR owns
     cleanup (round-4 invariant): the verified pair list — bounded by the
-    duplicate rate, not the corpus — materializes eagerly and both
-    intermediates are freed before return (``caching.finalize``). At
+    duplicate rate, not the corpus — materializes eagerly and every
+    intermediate is freed before return (``caching.finalize``). At
     10^12 docs pass ``materialize="checkpoint_table"`` with a job-scoped
-    ``scratch_dir``: ``sigs`` becomes a parquet scratch table (no
+    ``scratch_dir``: ``bands`` becomes a parquet scratch table (no
     block-manager footprint; executor loss = re-read, not a recompute of
     the shingle pipeline) instead of a block-manager persist.
     """
@@ -303,11 +318,7 @@ def ngram_jaccard_pairs(
     # and the verify-stage shingle rebuild) — no-op when the scan is
     # already parallel; see minhash_signatures' docstring
     docs = spread_small_scan(docs, "doc_id")
-    sigs, free_sigs = materialize_projection(
-        minhash_signatures(docs, text_col, n_hashes, shingle_k),
-        how=materialize,
-        scratch_dir=scratch_dir,
-    )
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_size
     bands = sigs.select(
         "doc_id",
@@ -350,6 +361,21 @@ def ngram_jaccard_pairs(
             .where(F.col("_bsz") <= int(bucket_cap))
             .drop("_bsz")
         )
+    # Materialize the POST-CAP band table rather than the signature table:
+    # the self-join below references it from both sides, and Catalyst does
+    # not deduplicate the two subtrees — with only `sigs` materialized,
+    # each side re-ran the band-hash md5 projection AND the bucket-cap
+    # window (its own (band_id, band_hash) exchange) on top of the cached
+    # signatures (measured round 6: two identical band-prep stage chains
+    # per query). One O(corpus·n_bands) materialization feeds both join
+    # sides and subsumes the former sigs persist — `sigs` is now a
+    # single-consumer parent computed once into this table. The
+    # checkpoint_table shape carries n_bands× the rows of sigs (the
+    # 10^12-docs deployment trade: re-read n_bands small rows vs recompute
+    # the band prep per side).
+    bands, free_bands = materialize_projection(
+        bands, how=materialize, scratch_dir=scratch_dir
+    )
     left, right = bands.alias("a"), bands.alias("b")
     agree = None
     for i in range(n_hashes):
@@ -421,7 +447,7 @@ def ngram_jaccard_pairs(
     return finalize(
         verified,
         [
-            free_sigs,
+            free_bands,
             lambda: prefiltered.unpersist(blocking=True),
             lambda: sets.unpersist(blocking=True),
         ],

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "t1_block_filter",
@@ -47,6 +47,12 @@ __all__ = [
 
 CORNER_COLS = [f"c{i}{a}" for i in range(4) for a in ("x", "y")]
 
+# Every builder in this module constructs the SAME static expression
+# tree on every call (t3's 16 corner cases, p3's window/fill forest, the
+# rotation updates — ~0.5 s of py4j-bound driver time per query
+# construction); see exprcache for the caching contract.
+from tesseract_recognize_spark.exprcache import cached_exprs as _cached_exprs
+
 
 def t1_block_filter(df: DataFrame) -> DataFrame:
     """Drop non-text blocks (BlockType > PT_CAPTION_TEXT) and quarantined
@@ -55,10 +61,7 @@ def t1_block_filter(df: DataFrame) -> DataFrame:
     return df.filter((F.col("sub_order") >= 0) & (F.col("block_type") <= 8))
 
 
-def t3_coords(df: DataFrame) -> DataFrame:
-    """Corner polygon as scalar columns, start corner rotated by
-    orientation; unlocatable rows flagged ``sentinel`` (reference
-    setCoords: '0,0 0,0')."""
+def _build_t3() -> dict:
     x0, y0 = F.col("x0").cast("double"), F.col("y0").cast("double")
     x1, y1 = F.col("x1").cast("double"), F.col("y1").cast("double")
     tl = (x0, y0)
@@ -82,9 +85,14 @@ def t3_coords(df: DataFrame) -> DataFrame:
                 .otherwise(order_for[0][i][a])
             )
             cols[f"c{i}{'xy'[a]}"] = expr
-    return df.withColumns(
-        {**cols, "sentinel": sent, "coords_filled": F.lit(False)}
-    )
+    return {**cols, "sentinel": sent, "coords_filled": F.lit(False)}
+
+
+def t3_coords(df: DataFrame) -> DataFrame:
+    """Corner polygon as scalar columns, start corner rotated by
+    orientation; unlocatable rows flagged ``sentinel`` (reference
+    setCoords: '0,0 0,0')."""
+    return df.withColumns(_cached_exprs(df, "t3", _build_t3))
 
 
 def _rot_x(x, y, w, h, angle):
@@ -103,11 +111,8 @@ def _rot_y(x, y, w, h, angle):
     )
 
 
-def _apply_rotation(df: DataFrame, angle: Column) -> DataFrame:
-    """Rotate corner/baseline scalars and swap page dims for rows whose
-    `angle` is ±90/180. The sentinel is frame-invariant (see
-    oracle/reference_ops.py on this deliberate deviation from the
-    reference's string matching)."""
+def _build_rotation(angle_name: str) -> dict:
+    angle = F.col(angle_name)
     active = angle.isin(90, 180, -90)
     w, h = F.col("page_w"), F.col("page_h")
     upd = {}
@@ -123,13 +128,25 @@ def _apply_rotation(df: DataFrame, angle: Column) -> DataFrame:
     swap = active & angle.isin(90, -90)
     upd["page_w"] = F.when(swap, h).otherwise(w)
     upd["page_h"] = F.when(swap, w).otherwise(h)
-    return df.withColumns(upd)
+    return upd
+
+
+def _apply_rotation(df: DataFrame, angle_name: str) -> DataFrame:
+    """Rotate corner/baseline scalars and swap page dims for rows whose
+    angle column (by name) is ±90/180. The sentinel is frame-invariant
+    (see oracle/reference_ops.py on this deliberate deviation from the
+    reference's string matching)."""
+    return df.withColumns(
+        _cached_exprs(
+            df, ("rot", angle_name), lambda: _build_rotation(angle_name)
+        )
+    )
 
 
 def p1_apply_orientation(df: DataFrame) -> DataFrame:
     """Derotate pages that carry the OSD apply-image-orientation property.
     Purely row-wise — no shuffle."""
-    return _apply_rotation(df, F.col("osd_angle"))
+    return _apply_rotation(df, "osd_angle")
 
 
 def p2_dominant_baselines(df: DataFrame) -> DataFrame:
@@ -138,28 +155,32 @@ def p2_dominant_baselines(df: DataFrame) -> DataFrame:
     angles) + conditional rotation. Like the reference, only pages that
     carried the OSD property participate. The unordered (doc_id, offset)
     window reuses any upstream sort prefixed by those keys."""
-    page_w = Window.partitionBy("doc_id", "offset")
-    theta = F.when(
-        (F.col("level") == "line") & F.col("b1x").isNotNull(),
-        F.atan2(-(F.col("b2y") - F.col("b1y")), F.col("b2x") - F.col("b1x")),
-    )
-    dom = F.atan2(
-        F.avg(F.sin(theta)).over(page_w), F.avg(F.cos(theta)).over(page_w)
-    )
-    pi = math.pi
-    bucket = (
-        F.when(dom.isNull(), F.lit(0))
-        .when((dom >= pi / 4) & (dom < 3 * pi / 4), F.lit(-90))
-        .when((dom <= -pi / 4) & (dom > -3 * pi / 4), F.lit(90))
-        .when((dom >= 3 * pi / 4) | (dom <= -3 * pi / 4), F.lit(180))
-        .otherwise(F.lit(0))
-    )
-    osd_page = F.col("osd_angle").isNotNull() & (F.col("osd_angle") != 0)
-    p2_angle = F.when(osd_page, bucket).otherwise(F.lit(0))
-    # rotatePage(a) ⇔ the derotation transform for angle -a (180 ↔ 180)
-    undo = F.when(p2_angle == 180, F.lit(180)).otherwise(-p2_angle)
-    df = df.withColumn("_p2_undo", undo)
-    df = _apply_rotation(df, F.col("_p2_undo"))
+    def build():
+        page_w = Window.partitionBy("doc_id", "offset")
+        theta = F.when(
+            (F.col("level") == "line") & F.col("b1x").isNotNull(),
+            F.atan2(
+                -(F.col("b2y") - F.col("b1y")), F.col("b2x") - F.col("b1x")
+            ),
+        )
+        dom = F.atan2(
+            F.avg(F.sin(theta)).over(page_w), F.avg(F.cos(theta)).over(page_w)
+        )
+        pi = math.pi
+        bucket = (
+            F.when(dom.isNull(), F.lit(0))
+            .when((dom >= pi / 4) & (dom < 3 * pi / 4), F.lit(-90))
+            .when((dom <= -pi / 4) & (dom > -3 * pi / 4), F.lit(90))
+            .when((dom >= 3 * pi / 4) | (dom <= -3 * pi / 4), F.lit(180))
+            .otherwise(F.lit(0))
+        )
+        osd_page = F.col("osd_angle").isNotNull() & (F.col("osd_angle") != 0)
+        p2_angle = F.when(osd_page, bucket).otherwise(F.lit(0))
+        # rotatePage(a) ⇔ the derotation transform for angle -a (180 ↔ 180)
+        return F.when(p2_angle == 180, F.lit(180)).otherwise(-p2_angle)
+
+    df = df.withColumn("_p2_undo", _cached_exprs(df, "p2_undo", build))
+    df = _apply_rotation(df, "_p2_undo")
     return df.drop("_p2_undo")
 
 
@@ -178,6 +199,13 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     last/first frames. The line partition keys on the numeric line_sub
     anchor (not the line_id string): its sort coincides with emission
     order, so the downstream order-assignment window reuses this sort."""
+    win_cols, upd = _cached_exprs(df, "p3", _build_p3)
+    df = df.withColumns(win_cols)
+    df = df.withColumns(upd)
+    return df.drop("_pre", "_fol", "_fol_idx", "_max_idx", "_line")
+
+
+def _build_p3() -> tuple:
     line_part = Window.partitionBy("doc_id", "offset", "line_sub")
     w_order = line_part.orderBy("sub_order")
     preceding = w_order.rowsBetween(Window.unboundedPreceding, -1)
@@ -198,23 +226,21 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     #   * the parent line's corners = last line-struct over PRECEDING;
     #   * the line's max word_idx = last word idx over FOLLOWING, or the
     #     row's own word_idx when no word follows it.
-    df = df.withColumns(
-        {
-            "_pre": F.last(real_struct, ignorenulls=True).over(preceding),
-            "_line": F.last(
-                F.when(F.col("level") == "line", corner_struct),
-                ignorenulls=True,
-            ).over(preceding),
-            "_fol": F.first(real_struct, ignorenulls=True).over(following),
-            "_fol_idx": F.first(real_idx, ignorenulls=True).over(following),
-            "_max_idx": F.coalesce(
-                F.last(
-                    F.when(is_word, F.col("word_idx")), ignorenulls=True
-                ).over(following),
-                F.col("word_idx"),
-            ),
-        }
-    )
+    win_cols = {
+        "_pre": F.last(real_struct, ignorenulls=True).over(preceding),
+        "_line": F.last(
+            F.when(F.col("level") == "line", corner_struct),
+            ignorenulls=True,
+        ).over(preceding),
+        "_fol": F.first(real_struct, ignorenulls=True).over(following),
+        "_fol_idx": F.first(real_idx, ignorenulls=True).over(following),
+        "_max_idx": F.coalesce(
+            F.last(
+                F.when(is_word, F.col("word_idx")), ignorenulls=True
+            ).over(following),
+            F.col("word_idx"),
+        ),
+    }
 
     def pt(src, i):
         return (F.col(src)[f"c{i}x"], F.col(src)[f"c{i}y"])
@@ -302,8 +328,7 @@ def p3_fill_word_coords(df: DataFrame) -> DataFrame:
     upd["sentinel"] = F.when(needs_fill, F.lit(False)).otherwise(
         F.col("sentinel")
     )
-    df = df.withColumns(upd)
-    return df.drop("_pre", "_fol", "_fol_idx", "_max_idx", "_line")
+    return win_cols, upd
 
 
 def build_coords_array(df: DataFrame) -> DataFrame:
@@ -311,16 +336,19 @@ def build_coords_array(df: DataFrame) -> DataFrame:
     2-point '0,0 0,0' sentinel for never-filled rows) from the scalar
     corner columns — the ONE place an array-of-struct is constructed."""
 
-    def p(x, y):
-        return F.struct(x.alias("x"), y.alias("y"))
+    def build():
+        def p(x, y):
+            return F.struct(x.alias("x"), y.alias("y"))
 
-    zero = p(F.lit(0.0), F.lit(0.0))
-    corners = F.array(
-        *[p(F.col(f"c{i}x"), F.col(f"c{i}y")) for i in range(4)]
-    )
-    coords = (
-        F.when(F.col("c0x").isNull(), F.lit(None))
-        .when(F.col("sentinel"), F.array(zero, zero))
-        .otherwise(corners)
-    )
+        zero = p(F.lit(0.0), F.lit(0.0))
+        corners = F.array(
+            *[p(F.col(f"c{i}x"), F.col(f"c{i}y")) for i in range(4)]
+        )
+        return (
+            F.when(F.col("c0x").isNull(), F.lit(None))
+            .when(F.col("sentinel"), F.array(zero, zero))
+            .otherwise(corners)
+        )
+
+    coords = _cached_exprs(df, "coords_array", build)
     return df.withColumn("coords", coords).drop(*CORNER_COLS, "sentinel")

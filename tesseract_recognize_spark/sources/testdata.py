@@ -18,8 +18,25 @@ __all__ = [
 ]
 
 
+# (application_id, path) -> StructType. Plain table METADATA — the schema
+# of a static input file — cached so repeated reads skip Spark's
+# footer-inference pass (measured ~100 ms per spark.read.parquet call vs
+# ~15 ms with an explicit schema; a 38-query bench pass re-opens these
+# four tables ~50 times). Keyed per application so a new session (or a
+# regenerated dataset under a fresh driver run) re-infers; rows are
+# always read from parquet — nothing about DATA is cached here.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def spans_from_sf_documents(docs: DataFrame) -> DataFrame:
