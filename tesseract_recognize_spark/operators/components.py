@@ -28,7 +28,10 @@ surfaced as a candidate. Two interchangeable algorithms, same output:
 Both are pure DataFrame ops, fully distributed; the driver only
 orchestrates rounds and checks convergence (an intentional sync point,
 the same pattern GraphX/GraphFrames use for iterative algorithms; Spark
-has no native fixpoint operator).
+has no native fixpoint operator). Below ``driver_max_edges`` distinct
+symmetric edges, an adaptive fast path computes the identical closure as
+driver-side union-find instead — one distributed round costs more than
+the whole closure there (see ``connected_components``).
 
 Lineage/memory discipline: every generation is localCheckpoint(eager)
 (persist alone would cache blocks but the LOGICAL plan still nests every
@@ -49,10 +52,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["connected_components"]
 
 
-def _prep_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+def _prep_edges(pairs: DataFrame, src: str, dst: str):
     """Distinct symmetric edge list (u, v); persisted+materialized so the
     (possibly expensive — e.g. a full Jaccard verify) pair subtree runs
-    once, not per union branch per round."""
+    once, not per union branch per round. Returns (edges, edge_count) —
+    the materializing count doubles as the size probe for the adaptive
+    driver fast path."""
     from pyspark import StorageLevel
 
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -65,9 +70,50 @@ def _prep_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges.count()  # materialize once, before the loop reuses it per round
+    n = edges.count()  # materialize once, before any reuse
     pairs.unpersist()
-    return edges
+    return edges, n
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Exact min-label closure on the driver, for edge lists below the
+    adaptive threshold: path-compressed union-find with union-by-minimum,
+    so each set's root IS its minimum id — the identical
+    (node, component-min) labeling both distributed algorithms converge
+    to, computed in one pass over the collected edges."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    pdf = edges.toPandas()  # symmetric, distinct; bounded by the caller
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru  # larger root under smaller: root == set min
+    nodes = pdf["u"].drop_duplicates()  # symmetric edges: u covers all
+    out = pd.DataFrame(
+        {"node": nodes, "component_id": [find(n) for n in nodes]}
+    )
+    utype = edges.schema["u"].dataType
+    schema = StructType(
+        [
+            StructField("node", utype, True),
+            StructField("component_id", utype, True),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def _label_propagation(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -217,6 +263,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     algorithm: str = "label",
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """(node, component_id) for every node in ``pairs``; component_id is
     the minimum node id in the component — deterministic, engine-exact
@@ -226,14 +273,31 @@ def connected_components(
     ``max_iter`` non-converged rounds rather than returning a partial
     labeling. ``algorithm``: "label" (min-label propagation, rounds =
     diameter — the near-clique dedup default) or "star" (alternating
-    large-star/small-star, O(log n)-ish rounds — long-chain graphs)."""
+    large-star/small-star, O(log n)-ish rounds — long-chain graphs).
+
+    ``driver_max_edges`` — adaptive small-graph fast path (the broadcast-
+    small-side pattern applied to the fixpoint): when the DISTINCT
+    symmetric edge count (known from the materializing count this
+    operator already pays) is at or below the threshold, the exact
+    closure runs as driver-side union-find instead of a distributed
+    round loop. A verified near-duplicate pair list is bounded by the
+    duplicate rate, not the corpus, so it is routinely thousands of rows
+    — where every distributed round costs more in job scheduling and
+    32-way exchanges than the entire union-find (measured sf0.1: ~1-2 s
+    of round jobs for 50 edges). 200k edges ≈ a few MB collected — far
+    under any sane ``spark.driver.maxResultSize`` — and beyond the
+    threshold the distributed loops take over unchanged; ``algorithm``
+    selects between them only there. Set ``driver_max_edges=0`` to force
+    the distributed path (the loop tests do)."""
     if algorithm not in ("label", "star"):
         raise ValueError(
             f"connected_components: unknown algorithm {algorithm!r} "
             '(expected "label" or "star")'
         )
-    edges = _prep_edges(pairs, src, dst)
+    edges, n_edges = _prep_edges(pairs, src, dst)
     try:
+        if n_edges <= driver_max_edges:
+            return _driver_components(edges)
         if algorithm == "star":
             return _alternating_star(edges, max_iter)
         return _label_propagation(edges, max_iter)

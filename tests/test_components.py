@@ -24,7 +24,8 @@ def test_chain_propagates_across_hops(spark):
     got = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, [(10, 9), (9, 8), (8, 7), (1, 2)])
+            _pairs(spark, [(10, 9), (9, 8), (8, 7), (1, 2)]),
+            driver_max_edges=0,
         ).collect()
     }
     assert got == {7: 7, 8: 7, 9: 7, 10: 7, 1: 1, 2: 1}
@@ -35,7 +36,8 @@ def test_triangle_with_redundant_edges(spark):
     got = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, [(5, 6), (6, 7), (5, 7), (7, 5), (5, 6)])
+            _pairs(spark, [(5, 6), (6, 7), (5, 7), (7, 5), (5, 6)]),
+            driver_max_edges=0,
         ).collect()
     }
     assert got == {5: 5, 6: 5, 7: 5}
@@ -44,7 +46,8 @@ def test_triangle_with_redundant_edges(spark):
 def test_max_iter_raises_instead_of_partial(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(
-            _pairs(spark, [(4, 3), (3, 2), (2, 1)]), max_iter=1
+            _pairs(spark, [(4, 3), (3, 2), (2, 1)]), max_iter=1,
+            driver_max_edges=0,
         )
 
 
@@ -71,13 +74,13 @@ def test_star_equals_label(spark, edges):
     a = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, edges), algorithm="label"
+            _pairs(spark, edges), algorithm="label", driver_max_edges=0
         ).collect()
     }
     b = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, edges), algorithm="star"
+            _pairs(spark, edges), algorithm="star", driver_max_edges=0
         ).collect()
     }
     assert a == b
@@ -96,13 +99,13 @@ def test_star_equals_label_random_graph(spark):
     a = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, edges), algorithm="label"
+            _pairs(spark, edges), algorithm="label", driver_max_edges=0
         ).collect()
     }
     b = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, edges), algorithm="star"
+            _pairs(spark, edges), algorithm="star", driver_max_edges=0
         ).collect()
     }
     assert a == b
@@ -133,13 +136,56 @@ def test_star_converges_on_long_chain_where_label_cannot(spark):
     chain = [(i + 1, i) for i in range(999)]
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(
-            _pairs(spark, [(i + 1, i) for i in range(40)]), max_iter=25
+            _pairs(spark, [(i + 1, i) for i in range(40)]), max_iter=25,
+            driver_max_edges=0,
         )
     got = {
         r["node"]: r["component_id"]
         for r in connected_components(
-            _pairs(spark, chain), algorithm="star", max_iter=25
+            _pairs(spark, chain), algorithm="star", max_iter=25,
+            driver_max_edges=0,
         ).collect()
     }
     assert len(got) == 1000
     assert set(got.values()) == {0}
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    """Round-6 adaptive fast path: below driver_max_edges the closure
+    runs as driver-side union-find — the labeling must be identical to
+    both distributed algorithms on the same graph (chain + clique +
+    redundant/reversed edges + isolated pair)."""
+    import random
+
+    rng = random.Random(13)
+    nodes = list(range(80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(200, 201), (201, 202), (202, 200), (200, 201), (300, 301)]
+
+    def run(**kw):
+        return {
+            r["node"]: r["component_id"]
+            for r in connected_components(_pairs(spark, edges), **kw).collect()
+        }
+
+    fast = run()  # default threshold >> |edges| → driver union-find
+    label = run(driver_max_edges=0, algorithm="label")
+    star = run(driver_max_edges=0, algorithm="star")
+    assert fast == label == star
+
+
+def test_driver_fast_path_schema_and_types(spark):
+    """The fast path must return the same (node, component_id) schema and
+    id types as the distributed loops (bigint ids — the id contract both
+    distributed algorithms' decimal/hash aggregates assume)."""
+    pairs = _pairs(spark, [(2, 1), (2, 9)])
+    fast = connected_components(pairs)
+    slow = connected_components(pairs, driver_max_edges=0)
+    assert fast.schema.fieldNames() == slow.schema.fieldNames()
+    assert [f.dataType for f in fast.schema.fields] == [
+        f.dataType for f in slow.schema.fields
+    ]
+    as_map = {r["node"]: r["component_id"] for r in fast.collect()}
+    assert as_map == {1: 1, 2: 1, 9: 1}
+    assert as_map == {r["node"]: r["component_id"] for r in slow.collect()}
