@@ -411,9 +411,9 @@ python scripts/lockstep_pairs.py --cycles 8 --docs 160000  # job-size sweep
 python scripts/lockstep_pairs.py --cycles 6 --docs 320000 --warmups 2 \\
     --ledger BENCH/lockstep_ledger_r05.jsonl             # asymptote point
 python scripts/lockstep_pairs.py --docs 160000 --n 2 --xn 8 --cycles 6 \\
-    --warmups 1 --ledger BENCH/lockstep_ledger_r05.jsonl  # below-the-wall N vs 4N
+    --warmups 1 --ledger BENCH/lockstep_ledger_r06.jsonl  # below-the-wall N vs 4N
 python scripts/lockstep_pairs.py --docs 320000 --n 2 --xn 8 --cycles 4 \\
-    --warmups 1 --ledger BENCH/lockstep_ledger_r05.jsonl  # pre-registered asymptote point
+    --warmups 1 --ledger BENCH/lockstep_ledger_r06.jsonl  # pre-registered 320k point (run r6, eff_min 0.841)
 python scripts/cpu_inflation_probe.py 300 3          # host-physics probe
 python scripts/scaling_report.py                     # this file
 ```
